@@ -1,0 +1,293 @@
+"""Query engine over the persisted index.
+
+Implements the reference's whole query surface (SURVEY §2.2, §2.7 —
+term lookup ``index/filter.go:10-42``, AND-intersection
+``search/search.go:75-106``, documented-OR union ``PROPOSAL.md:
+230-235``, prefix scan ``filter.go:67-118``, doc materialization
+``index.go:241-265``) plus the north-star BM25 top-k with block-max
+pruning.
+
+Scale notes:
+- Query-term block fetch is a parquet scan with a pushed-down
+  ``term`` predicate; block files are (term, span) sorted at build
+  time so row-group min/max stats prune most of the scan.
+- BM25 scoring groups blocks by doc-span: every span scores
+  independently (one Arrow batch each, numpy inside), emits ≤k
+  candidates, and only those tiny candidate sets hit the final
+  global top-k shuffle.
+- Block-max pruning: per-span upper bound = Σ_q idf·max_tf_norm of
+  that span's blocks (one groupBy); a bootstrap pass over the
+  highest-bound spans yields a threshold θ (a lower bound of the
+  true kth score), and spans with bound < θ are provably outside the
+  top-k — score-lossless, asserted against exhaustive scoring in
+  tests (SURVEY §4.2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import analyze_query
+from .codec import decode_postings, decode_tfs
+
+K1 = 1.2
+B = 0.75
+
+
+class SparkIndex:
+    """Handle to a persisted index directory (the analog of the
+    reference's ``NeoSearch.OpenIndex``, ``neosearch.go:170-206`` —
+    minus the LRU: Spark's block manager owns caching)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        p = self.manifest["params"]
+        self.span = int(p["span"])
+        stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+
+    @property
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    @property
+    def doc_len(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_len"))
+
+    # ---------------- posting decode ----------------
+
+    def _decode(self, blocks: DataFrame, with_payload: bool = False) -> DataFrame:
+        """blocks → exploded (field, term, doc_id[, tf, dl]) rows."""
+        schema = "field string, term string, doc_id long"
+        if with_payload:
+            schema += ", tf int, dl int"
+
+        def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    ids = decode_postings(row.docs_enc)
+                    d = {
+                        "field": np.repeat(row.field, len(ids)),
+                        "term": np.repeat(row.term, len(ids)),
+                        "doc_id": ids,
+                    }
+                    if with_payload:
+                        d["tf"] = decode_tfs(row.tfs_enc).astype(np.int32)
+                        d["dl"] = decode_tfs(row.dls_enc).astype(np.int32)
+                    outs.append(pd.DataFrame(d))
+                yield (
+                    pd.concat(outs, ignore_index=True)
+                    if outs
+                    else pd.DataFrame(
+                        {
+                            c.split(" ")[0]: pd.Series(dtype="object")
+                            for c in schema.split(", ")
+                        }
+                    )
+                )
+
+        cols = ["field", "term", "span_id", "docs_enc"]
+        if with_payload:
+            cols += ["tfs_enc", "dls_enc"]
+        return blocks.select(*cols).mapInPandas(dec, schema=schema)
+
+    # ---------------- boolean surface (reference parity) ----------------
+
+    def term_docs(self, term: str, field: str = "text") -> DataFrame:
+        """FilterTermID analog (``filter.go:10-42``): docID-ascending."""
+        b = self.blocks.where((F.col("field") == field) & (F.col("term") == term))
+        return self._decode(b).select("doc_id").orderBy("doc_id")
+
+    def and_docs(self, terms: list[str], field: str = "text") -> DataFrame:
+        """Sorted-intersection AND (``search/search.go:75-106``) as a
+        chain of joins on doc_id (sort-merge; postings are sorted)."""
+        if not terms:
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        res = self.term_docs(terms[0], field)
+        for t in terms[1:]:
+            res = res.join(self.term_docs(t, field), "doc_id", "inner")
+        return res.orderBy("doc_id")
+
+    def or_docs(self, terms: list[str], field: str = "text") -> DataFrame:
+        """Documented union OR (PROPOSAL.md:230-235; reference's $or
+        is broken — SURVEY §2.11.1)."""
+        b = self.blocks.where(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        )
+        return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
+
+    def not_docs(
+        self, include: list[str], exclude: list[str], field: str = "text"
+    ) -> DataFrame:
+        """AND(include) minus OR(exclude) — anti-join (the planned
+        NOT, ``PROPOSAL.md:223-224``)."""
+        return (
+            self.and_docs(include, field)
+            .join(self.or_docs(exclude, field), "doc_id", "left_anti")
+            .orderBy("doc_id")
+        )
+
+    def prefix_docs(self, prefix: str, field: str = "text") -> DataFrame:
+        """MatchPrefix analog (``filter.go:67-118``), normalized to
+        docID-ascending (divergence §2.11.3)."""
+        b = self.blocks.where(
+            (F.col("field") == field) & F.col("term").startswith(prefix)
+        )
+        return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
+
+    def get_docs(self, ids: DataFrame, limit: int | None = None) -> DataFrame:
+        """GetDocs analog (``index.go:241-265``): broadcast the
+        (small) id side into a hash join against the doc store."""
+        out = self.docs.join(F.broadcast(ids), "doc_id")
+        if limit is not None:
+            out = out.orderBy("doc_id").limit(limit)
+        return out
+
+    # ---------------- BM25 ----------------
+
+    def idfs(self, qterms: list[str], field: str = "text") -> dict[str, float]:
+        rows = (
+            self.terms.where(
+                (F.col("field") == field) & F.col("term").isin(list(set(qterms)))
+            )
+            .select("term", "df")
+            .collect()
+        )
+        dfmap = {r["term"]: int(r["df"]) for r in rows}
+        n = self.n_docs
+        return {
+            t: math.log(1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5))
+            for t in qterms
+        }
+
+    def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
+        """Per-span exact scoring: ≤k (doc_id, score) rows per span.
+
+        Accumulation is per query term IN QUERY ORDER (fixed float64
+        op order → rank-identical to the oracle)."""
+        span = self.span
+        avgdl = self.avgdl
+        qpos = {t: i for i, t in enumerate(qterms)}
+
+        def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            span_id = int(key[0])
+            base = span_id * span
+            acc = np.zeros(span, dtype=np.float64)
+            seen = np.zeros(span, dtype=bool)
+            pdf = pdf.assign(_qp=pdf["term"].map(qpos)).sort_values(["_qp", "first_doc"])
+            for row in pdf.itertuples(index=False):
+                ids = decode_postings(row.docs_enc)
+                tfs = decode_tfs(row.tfs_enc).astype(np.float64)
+                dls = decode_tfs(row.dls_enc).astype(np.float64)
+                tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+                rel = ids - base
+                acc[rel] += idf[row.term] * tf_norm
+                seen[rel] = True
+            idx = np.flatnonzero(seen)
+            if idx.size == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            sc = acc[idx]
+            order = np.lexsort((idx, -sc))[:k]
+            return pd.DataFrame({"doc_id": (idx[order] + base).astype(np.int64), "score": sc[order]})
+
+        # duplicate query terms score once per occurrence in the
+        # oracle; replicate blocks per duplicate occurrence
+        dup_counts: dict[str, int] = {}
+        for t in qterms:
+            dup_counts[t] = dup_counts.get(t, 0) + 1
+        if any(c > 1 for c in dup_counts.values()):
+            mult = self.spark.createDataFrame(
+                [(t, c) for t, c in dup_counts.items()], "term string, mult int"
+            )
+            blocks = (
+                blocks.join(F.broadcast(mult), "term")
+                .withColumn("_rep", F.explode(F.sequence(F.lit(1), F.col("mult"))))
+                .drop("mult", "_rep")
+            )
+
+        return blocks.groupBy("span_id").applyInPandas(
+            score, schema="doc_id long, score double"
+        )
+
+    def bm25_topk(
+        self, query: str, k: int = 10, field: str = "text", prune: bool = True
+    ) -> DataFrame:
+        """BM25 top-k, ordered (score desc, doc_id asc).
+
+        prune=True enables block-max span pruning; result is
+        provably identical to prune=False (tested)."""
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf = self.idfs(qterms, field)
+        uniq = list(dict.fromkeys(qterms))
+        blocks_q = self.blocks.where(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+
+        if prune:
+            # occurrence-weighted upper bound per span
+            wts = self.spark.createDataFrame(
+                [(t, idf[t] * c) for t, c in
+                 {u: qterms.count(u) for u in uniq}.items()],
+                "term string, w double",
+            )
+            ub = (
+                blocks_q.join(F.broadcast(wts), "term")
+                .groupBy("span_id")
+                .agg(F.sum(F.col("w") * F.col("max_tf_norm")).alias("ub"))
+            )
+            n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
+            boot_spans = [
+                r["span_id"]
+                for r in ub.orderBy(F.desc("ub")).limit(n_boot).collect()
+            ]
+            boot_scores = (
+                self._score_spans(
+                    blocks_q.where(F.col("span_id").isin(boot_spans)), qterms, idf, k
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            boot_rows = boot_scores.collect()
+            if len(boot_rows) >= k:
+                theta = boot_rows[-1]["score"]
+                survivors = ub.where(
+                    (F.col("ub") >= theta) & ~F.col("span_id").isin(boot_spans)
+                ).select("span_id")
+                rest = self._score_spans(
+                    blocks_q.join(F.broadcast(survivors), "span_id"),
+                    qterms,
+                    idf,
+                    k,
+                )
+                scored = rest.unionByName(
+                    self.spark.createDataFrame(boot_rows, "doc_id long, score double")
+                )
+            else:
+                scored = self._score_spans(blocks_q, qterms, idf, k)
+        else:
+            scored = self._score_spans(blocks_q, qterms, idf, k)
+
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
