@@ -1,38 +1,393 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data ops); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (column names and
+types aligned; floats rounded identically on both sides).
+
+Spark implementations live in ``neosearch_spark``; this module only
+wires them to the driver contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neosearch_spark import fts
+from neosearch_spark.ops import ann, dedup, textstats
+
+# ----------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# tokens CTE shared by the FTS oracle SQL (mirror of
+# neosearch_spark.analyzer: trim spaces -> lower -> split on single
+# space, empties kept)
+TOKS = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token "
+    "FROM documents)"
+)
+
+BM25_Q = ["vector", "join", "hash"]
+K1, B = 1.2, 0.75
+
+
+def _bm25_sql(qterms: list[str], topk: int | None) -> str:
+    inlist = ", ".join(f"'{t}'" for t in qterms)
+    limit = f" ORDER BY score DESC, doc_id LIMIT {topk}" if topk else " ORDER BY doc_id"
+    return f"""
+{TOKS},
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+       WHERE token IN ({inlist}) GROUP BY doc_id, token),
+dl AS (SELECT doc_id, len(string_split(lower(trim(text)), ' '))::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))), 6) AS score
+FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY doc_id{limit}
+"""
+
+
+# ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over sf0.001 documents."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return fts.bm25_topk(docs, BM25_Q, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- FTS core (reference operator surface, SURVEY §2.2/§2.7) ---
+    q["fts_term"] = lambda s, d: fts.matching_docs(_docs(s, d), "vector")
+    q["fts_and"] = lambda s, d: fts.and_docs(_docs(s, d), ["vector", "join"])
+    q["fts_or"] = lambda s, d: fts.or_docs(_docs(s, d), ["vector", "stream"])
+    q["fts_not"] = lambda s, d: fts.not_docs(_docs(s, d), ["vector"], ["join"])
+    q["fts_prefix"] = lambda s, d: fts.prefix_docs(_docs(s, d), "vec")
+    q["fts_term_total"] = lambda s, d: fts.matching_docs(_docs(s, d), "vector").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    q["fts_postings"] = lambda s, d: (
+        fts.term_frequencies(_docs(s, d))
+        .where(F.col("token").isin(["vector", "stream", "merge"]))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("doc_ids_csv"),
+        )
+        .withColumnRenamed("token", "term")
+        .orderBy("term")
+    )
+    q["fts_doc_len"] = lambda s, d: fts.doc_lengths(_docs(s, d)).orderBy("doc_id")
+    q["fts_stats"] = lambda s, d: fts.doc_lengths(_docs(s, d)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    q["fts_bm25_scores"] = lambda s, d: fts.bm25_scores(_docs(s, d), BM25_Q).orderBy(
+        "doc_id"
+    )
+    q["fts_bm25_topk"] = lambda s, d: fts.bm25_topk(_docs(s, d), BM25_Q, k=10)
+    q["fts_exact_field"] = lambda s, d: (
+        _docs(s, d).where(F.col("lang") == "fr").select("doc_id").orderBy("doc_id")
+    )
+
+    # --- dedup family ---
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["dedup_fingerprint"] = lambda s, d: dedup.fingerprint_dedup(_docs(s, d), n_prefix_tokens=3)
+    q["dedup_minhash_sig"] = lambda s, d: dedup.minhash_signatures(
+        _docs(s, d), n_hashes=4
+    ).orderBy("doc_id")
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_buckets(
+        _docs(s, d), n_hashes=8, band_size=2
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d), bits=16).orderBy("doc_id")
+    q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
+        _docs(s, d), threshold=0.8, max_doc_id=100
+    )
+
+    # --- text analysis ---
+    q["text_quality"] = lambda s, d: textstats.quality_stats(_docs(s, d)).orderBy("doc_id")
+    q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d)).orderBy("doc_id")
+    q["text_lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id")
+    q["text_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d)).orderBy("doc_id")
+
+    # --- similarity search ---
+    q["ann_cosine_topk"] = lambda s, d: ann.cosine_topk(_emb(s, d), query_vec_id=0, k=10)
+    q["ann_knn_queries"] = lambda s, d: ann.knn_for_queries(_emb(s, d), [0, 1, 2], k=5)
+    q["ann_pairs_above"] = lambda s, d: ann.cosine_pairs_above(
+        _emb(s, d), threshold=0.25, max_id=150
+    )
+
+    # --- relational coverage (joins / agg / window / sessionize) ---
+    def rel_q1(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["rel_q1"] = rel_q1
+
+    def rel_topk_per_group(s, d):
+        from pyspark.sql import Window
+
+        o = _t(s, d, "orders").where(F.col("o_custkey") < 100)
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank")
+            .orderBy("o_custkey", "rank")
+        )
+
+    q["rel_topk_per_group"] = rel_topk_per_group
+
+    def rel_join_agg(s, d):
+        c = _t(s, d, "customer")
+        o = _t(s, d, "orders")
+        n = _t(s, d, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+            )
+            .orderBy("n_name")
+        )
+
+    q["rel_join_agg"] = rel_join_agg
+
+    def events_sessions(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("new_session", newsess)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .orderBy("user_id")
+        )
+
+    q["events_sessions"] = events_sessions
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["fts_term"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks WHERE token = 'vector' ORDER BY doc_id"
+    )
+    o["fts_and"] = f"""{TOKS}
+SELECT doc_id FROM (
+  SELECT doc_id, count(DISTINCT token) AS n FROM toks
+  WHERE token IN ('vector','join') GROUP BY doc_id)
+WHERE n = 2 ORDER BY doc_id"""
+    o["fts_or"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks WHERE token IN ('vector','stream') ORDER BY doc_id"
+    )
+    o["fts_not"] = f"""{TOKS}
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM toks WHERE token = 'vector')
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE token = 'join')
+ORDER BY doc_id"""
+    o["fts_prefix"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks WHERE token LIKE 'vec%' ORDER BY doc_id"
+    )
+    o["fts_term_total"] = (
+        f"{TOKS} SELECT count(DISTINCT doc_id)::BIGINT AS total FROM toks WHERE token = 'vector'"
+    )
+    o["fts_postings"] = f"""{TOKS}
+SELECT token AS term, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids_csv
+FROM (SELECT DISTINCT token, doc_id FROM toks
+      WHERE token IN ('vector','stream','merge'))
+GROUP BY token ORDER BY term"""
+    o["fts_doc_len"] = (
+        "SELECT doc_id, len(string_split(lower(trim(text)), ' '))::BIGINT AS dl "
+        "FROM documents ORDER BY doc_id"
+    )
+    o["fts_stats"] = """
+WITH dl AS (SELECT len(string_split(lower(trim(text)), ' '))::BIGINT AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT AS total_tokens FROM dl"""
+    o["fts_bm25_scores"] = _bm25_sql(BM25_Q, None)
+    o["fts_bm25_topk"] = _bm25_sql(BM25_Q, 10)
+    o["fts_exact_field"] = "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id"
+
+    H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    o["dedup_exact"] = f"""
+SELECT {H.format(x="lower(trim(text))")} AS text_hash,
+       min(doc_id) AS survivor_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1 ORDER BY survivor_id"""
+    o["dedup_fingerprint"] = f"""
+WITH fp AS (SELECT doc_id,
+  {H.format(x="array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 3), ' ')")} AS fp_hash
+  FROM documents)
+SELECT fp_hash, count(*)::BIGINT AS group_size, min(doc_id) AS survivor_id
+FROM fp GROUP BY fp_hash HAVING count(*) >= 2 ORDER BY survivor_id"""
+    mh = ", ".join(
+        f"min({H.format(x=chr(39) + str(i) + ':' + chr(39) + ' || token')}) AS mh{i}"
+        for i in range(4)
+    )
+    o["dedup_minhash_sig"] = f"""{TOKS}
+SELECT doc_id, {mh}
+FROM (SELECT DISTINCT doc_id, token FROM toks WHERE token <> '')
+GROUP BY doc_id ORDER BY doc_id"""
+    sim_sums = ", ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(16)
+    )
+    sim_bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT" for j in range(16)
+    )
+    o["dedup_simhash"] = f"""{TOKS},
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks WHERE token <> '' GROUP BY doc_id, token),
+hs AS (SELECT doc_id, tf, {H.format(x='token')} AS h FROM tf),
+sums AS (SELECT doc_id, {sim_sums} FROM hs GROUP BY doc_id)
+SELECT doc_id, ({sim_bits}) AS simhash FROM sums ORDER BY doc_id"""
+    o["dedup_jaccard_pairs"] = f"""{TOKS},
+tset AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> '' AND doc_id < 100),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tset GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+          FROM tset a JOIN tset b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.8
+ORDER BY doc_a, doc_b"""
+
+    SW = "['" + "','".join(textstats.STOPWORDS) + "']"
+    o["text_quality"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS norm,
+           list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  len(list_distinct(toks))::BIGINT AS n_distinct,
+  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END, 6) AS ttr,
+  round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) ELSE 0 END, 6) AS mean_token_len,
+  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({SW}, x)))::DOUBLE / len(toks) ELSE 0 END, 6) AS stopword_ratio,
+  round(CASE WHEN len(norm) > 0 THEN (len(norm) - len(regexp_replace(norm, '[^\\w\\s]', '', 'g')))::DOUBLE / len(norm) ELSE 0 END, 6) AS punct_ratio,
+  round((CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END)
+        * (1.0 - CASE WHEN len(norm) > 0 THEN (len(norm) - len(regexp_replace(norm, '[^\\w\\s]', '', 'g')))::DOUBLE / len(norm) ELSE 0 END), 6) AS quality
+FROM t ORDER BY doc_id"""
+    o["text_token_counts"] = """
+SELECT doc_id,
+  len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents ORDER BY doc_id"""
+    lang_score = {
+        lang: f"len(list_intersect(toks, ['" + "','".join(m) + "']))::BIGINT"
+        for lang, m in textstats.LANG_MARKERS.items()
+    }
+    o["text_lang_id"] = f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks FROM documents),
+s AS (SELECT doc_id, {lang_score['en']} AS score_en, {lang_score['es']} AS score_es,
+             {lang_score['de']} AS score_de, {lang_score['fr']} AS score_fr FROM t)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+  CASE WHEN score_en >= greatest(score_es, score_de, score_fr) AND score_en >= 1 THEN 'en'
+       WHEN score_es >= greatest(score_de, score_fr) AND score_es >= 1 THEN 'es'
+       WHEN score_de >= score_fr AND score_de >= 1 THEN 'de'
+       WHEN score_fr >= 1 THEN 'fr'
+       ELSE 'und' END AS pred_lang
+FROM s ORDER BY doc_id"""
+    o["text_fingerprints"] = """
+SELECT doc_id, md5(lower(trim(text))) AS text_md5,
+  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))), ' ')) AS content_md5
+FROM documents ORDER BY doc_id"""
+
+    o["ann_cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+FROM e, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["ann_knn_queries"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+scored AS (SELECT q.qid, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+           FROM e, q WHERE e.vec_id <> q.qid),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT qid, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+    o["ann_pairs_above"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+ORDER BY id_a, id_b"""
+
+    o["rel_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+    o["rel_topk_per_group"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders WHERE o_custkey < 100)
+SELECT o_custkey, o_orderkey, rank::BIGINT AS rank FROM ranked WHERE rank <= 3
+ORDER BY o_custkey, rank"""
+    o["rel_join_agg"] = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name"""
+    o["events_sessions"] = """
+WITH g AS (SELECT user_id, ts, event_id,
+           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events)
+SELECT user_id,
+  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+  count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id ORDER BY user_id"""
+
+    return o

@@ -1,0 +1,164 @@
+"""Direct (non-persisted) full-text operators over any DataFrame
+with (doc_id: long, <text field>: string).
+
+These are the same logical operators as the persisted-index path
+(build.py/query.py) expressed as single Catalyst plans — used by the
+driver's DuckDB-oracle correctness gate and anywhere an ad-hoc query
+doesn't warrant a persisted index.  Reference semantics per SURVEY
+§2.2/§2.7 (FilterTermID ``index/filter.go:10-42``, AND
+``search/search.go:75-106``, documented OR ``PROPOSAL.md:230-235``,
+MatchPrefix ``filter.go:67-118``).
+
+Everything is built-in ``pyspark.sql.functions`` — whole-stage
+codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analyzer import doc_len_col, tokens_col
+
+K1 = 1.2
+B = 0.75
+
+
+def token_stream(docs: DataFrame, field: str = "text") -> DataFrame:
+    """(doc_id, token) — one row per token occurrence (duplicates
+    kept; tf = count).  Split tokens only — the whole-string term is
+    a lookup extra, not part of the scoring stream."""
+    return docs.select("doc_id", F.explode(tokens_col(F.col(field))).alias("token"))
+
+
+def term_frequencies(docs: DataFrame, field: str = "text") -> DataFrame:
+    """(doc_id, token, tf)"""
+    return (
+        token_stream(docs, field)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, field: str = "text") -> DataFrame:
+    """(doc_id, dl)"""
+    return docs.select("doc_id", doc_len_col(F.col(field)).cast("long").alias("dl"))
+
+
+def matching_docs(docs: DataFrame, term: str, field: str = "text") -> DataFrame:
+    """FilterTermID analog: doc_ids containing term, ascending."""
+    return (
+        token_stream(docs, field)
+        .where(F.col("token") == term)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def and_docs(docs: DataFrame, terms: list[str], field: str = "text") -> DataFrame:
+    """Docs containing ALL terms (sorted-intersection semantics)."""
+    tf = term_frequencies(docs, field)
+    hits = (
+        tf.where(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("n"))
+        .where(F.col("n") == len(set(terms)))
+    )
+    return hits.select("doc_id").orderBy("doc_id")
+
+
+def or_docs(docs: DataFrame, terms: list[str], field: str = "text") -> DataFrame:
+    """Docs containing ANY term (documented-union OR)."""
+    return (
+        token_stream(docs, field)
+        .where(F.col("token").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def not_docs(
+    docs: DataFrame, include: list[str], exclude: list[str], field: str = "text"
+) -> DataFrame:
+    return (
+        and_docs(docs, include, field)
+        .join(or_docs(docs, exclude, field), "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def prefix_docs(docs: DataFrame, prefix: str, field: str = "text") -> DataFrame:
+    return (
+        token_stream(docs, field)
+        .where(F.col("token").startswith(prefix))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    field: str = "text",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching ≥1 query term.
+
+    One declarative plan: tf filter (pushdown) → df per term → idf →
+    join dl → per-(doc,term) contribution → sum per doc.  Stats join
+    sides are broadcast (1 row / #qterms rows).  Lucene-style idf;
+    k1=1.2, b=0.75 — identical constants in oracle.py and the SQL
+    oracles."""
+    uniq = list(dict.fromkeys(query_terms))
+    tf = term_frequencies(docs, field).where(F.col("token").isin(uniq))
+    dl = doc_lengths(docs, field)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # occurrence multiplicity: duplicate query terms contribute once
+    # per occurrence (oracle semantics)
+    mult = {u: float(query_terms.count(u)) for u in uniq}
+    mult_df = docs.sparkSession.createDataFrame(
+        [(t, m) for t, m in mult.items()], "token string, mult double"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(mult_df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("mult")
+            * F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    field: str = "text",
+    round_to: int | None = 6,
+) -> DataFrame:
+    return (
+        bm25_scores(docs, query_terms, field, round_to)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

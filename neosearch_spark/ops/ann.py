@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (all arithmetic in
+double, fixed left-fold order so the DuckDB oracle matches); the
+scale path is LSH bucketing (random-hyperplane signs) that cuts the
+candidate set before exact scoring.  All vector math uses built-in
+higher-order functions (``zip_with``/``aggregate`` — JVM-side); a
+numpy ``mapInPandas`` variant exists for when matrices get wide
+enough that BLAS wins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Σ a_i·b_i in double, left-to-right fold (deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(
+    df: DataFrame, query_vec_col: str, vec_col: str = "embedding", round_to: int | None = 6
+) -> DataFrame:
+    c = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return df.withColumn("cosine", c)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_vec_id``.
+
+    The 1-row query side is broadcast; the scan side streams — at
+    scale this is a single map stage + a top-k (global sort of ≤k·P
+    candidate rows via takeOrdered semantics under limit)."""
+    q = vectors.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    scored = with_cosine(
+        vectors.where(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q)),
+        "_qv",
+        vec_col,
+        round_to,
+    )
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_for_queries(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k neighbors for each of a small set of query vectors:
+    broadcast the query side, window rank per query."""
+    from pyspark.sql import Window
+
+    q = vectors.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    scored = with_cosine(
+        vectors.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("qid")),
+        "_qv",
+        vec_col,
+        round_to,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def cosine_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup).
+
+    Exact quadratic variant for bounded sets; the scale path is
+    ``lsh_bucketed_pairs`` below (bucket first, pair only within
+    buckets)."""
+    d = vectors
+    if max_id is not None:
+        d = d.where(F.col(id_col) < max_id)
+    a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    c = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return (
+        pairs.withColumn("cosine", c)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit pattern of ``n_planes``
+    fixed random projections.  Deterministic planes from a seeded
+    numpy RNG are baked into the plan as literals (broadcast-free —
+    they're part of the closure/expression).  Near vectors collide
+    with probability 1 - θ/π per plane."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        d = _dot(F.col(vec_col), plane)
+        sig = sig + F.when(d > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+    return vectors.select(id_col, sig.alias("bucket"))
+
+
+def lsh_bucketed_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Scale path for near-dup: exact cosine only within LSH buckets.
+
+    Recall < 1 by design (LSH); bucket count 2^n_planes bounds the
+    per-bucket pair blow-up.  The bucket join is an equi-join —
+    shuffle on bucket id, AQE handles residual skew."""
+    b = hyperplane_lsh_buckets(vectors, n_planes, seed, dim, id_col, vec_col)
+    v = vectors.join(b, id_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    c = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(c, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_topk_numpy(
+    vectors: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """mapInPandas variant: per-partition BLAS matmul + local top-k,
+    then global top-k of ≤k·P rows — the shape that wins when dim or
+    batch is large."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            order = np.lexsort((pdf[id_col].to_numpy(), -sims))[:k]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[order],
+                    "cosine": sims[order],
+                }
+            )
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, cosine double"
+    )
+    return partial.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

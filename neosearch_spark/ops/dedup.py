@@ -1,0 +1,187 @@
+"""Deduplication operators for web-scale corpora.
+
+All portable-hash variants use md5-derived 60-bit integers
+(``conv(substr(md5(x),1,15),16,10)``) so the DuckDB oracle computes
+byte-identical hashes — and because md5 is stable across JVM/engine
+versions, dedup decisions are reproducible across runs/clusters
+(a real operational requirement, not just a test convenience).
+
+Scale notes per operator are in each docstring; the common theme:
+every candidate-generation step is a groupBy/join on a bounded key
+(hash, band, bucket) — no all-pairs product ever materializes except
+inside an explicitly bounded candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analyzer import norm_col, tokens_col
+
+
+def _h60(col: F.Column) -> F.Column:
+    """Portable 60-bit hash (md5-based, engine-agnostic)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, field: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min doc_id) per
+    distinct normalized text.  Pure hash-aggregate — one shuffle on
+    the text hash; at 100 TB group keys are the 60-bit hashes, not
+    the full strings (group by hash, min doc_id)."""
+    return (
+        docs.select("doc_id", _h60(norm_col(F.col(field))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).cast("long").alias("n_dups"))
+        .orderBy("survivor_id")
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, field: str = "text", n_prefix_tokens: int = 5) -> DataFrame:
+    """Near-dup candidate groups by leading-token fingerprint
+    (cheap recall-oriented pass before expensive pairwise checks)."""
+    fp = F.array_join(F.slice(tokens_col(F.col(field)), 1, n_prefix_tokens), " ")
+    return (
+        docs.select("doc_id", _h60(fp).alias("fp_hash"))
+        .groupBy("fp_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .where(F.col("group_size") >= 2)
+        .orderBy("survivor_id")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, field: str = "text", n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures over the distinct-token set.
+
+    h_i(tok) = md5-60bit(i || ':' || tok); signature_i = min over
+    tokens.  One explode + one groupBy(doc_id) with n_hashes min
+    aggregates — the explode is the only fan-out (x n_hashes is
+    applied as column expressions, not rows)."""
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(field))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    aggs = [
+        F.min(_h60(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    field: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH banding: signature split into bands of ``band_size``;
+    band hash = md5 of the concatenated band values.  Output: buckets
+    holding ≥2 docs — the candidate groups.  Join-free; the bucket
+    groupBy key spreads uniformly (hash values)."""
+    sigs = minhash_signatures(docs, field, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                _h60(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    return (
+        allb.groupBy("band", "band_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bucket_size"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("bucket_size") >= 2)
+        .orderBy("band", "band_hash")
+    )
+
+
+def simhash(docs: DataFrame, field: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash over tf-weighted token hashes.
+
+    Per doc: for each bit position, sum +tf/-tf by the token-hash
+    bit, sign → bit.  Expressed as explode → per-bit column
+    aggregates (no UDF): bit_j contribution = tf * (2*bit_j(h)-1);
+    simhash bit_j = (sum > 0).  One groupBy(doc_id)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(field))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", _h60(F.col("token")))
+    )
+    aggs = []
+    for j in range(bits):
+        bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{j}")
+        )
+    sums = tf.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    field: str = "text",
+    threshold: float = 0.5,
+    max_doc_id: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-set Jaccard similarity for candidate pairs.
+
+    Candidates = pairs sharing ≥1 token (inverted-index join on
+    token — the posting-list machinery reused for similarity).  At
+    scale the hot-token join is bounded by dropping ubiquitous tokens
+    (df cap) before the self-join; here the optional max_doc_id bound
+    keeps oracle-gate outputs small."""
+    d = docs
+    if max_doc_id is not None:
+        d = d.where(F.col("doc_id") < max_doc_id)
+    toks = (
+        d.select("doc_id", F.explode(tokens_col(F.col(field))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                round_to,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
