@@ -69,6 +69,30 @@ GROUP BY doc_id{limit}
 """
 
 
+# ------------------------------------------------- persisted-index cache
+
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _doc_index(spark: SparkSession, sf_dir: str):
+    """Persisted block index over the documents table (built once per
+    sf_dir per process; resume-skips across processes via the stage
+    fingerprint).  Puts the REAL engine — block codec, span layout,
+    WAND scoring — under the oracle gate."""
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.query import SparkIndex
+
+    if sf_dir not in _IDX_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        idx_dir = f"/tmp/neosearch_idx_cache_{tag}"
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+        IndexBuilder(idx_dir, analyzed_fields=["text"], exact_fields=["lang", "source"], span=256).build(
+            docs, resume=True
+        )
+        _IDX_CACHE[sf_dir] = idx_dir
+    return SparkIndex(spark, _IDX_CACHE[sf_dir])
+
+
 # ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -113,6 +137,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_exact_field"] = lambda s, d: (
         _docs(s, d).where(F.col("lang") == "fr").select("doc_id").orderBy("doc_id")
     )
+
+    # --- persisted-index-backed variants (block codec + WAND under
+    #     the same oracles as the direct path) ---
+    q["idx_term"] = lambda s, d: _doc_index(s, d).term_docs("vector")
+    q["idx_and"] = lambda s, d: _doc_index(s, d).and_docs(["vector", "join"])
+    q["idx_or"] = lambda s, d: _doc_index(s, d).or_docs(["vector", "stream"])
+    q["idx_prefix"] = lambda s, d: _doc_index(s, d).prefix_docs("vec")
+    q["idx_exact_field"] = lambda s, d: _doc_index(s, d).term_docs("fr", field="lang")
+    q["idx_bm25_topk"] = lambda s, d: _doc_index(s, d).bm25_topk(
+        " ".join(BM25_Q), k=10, prune=True
+    ).withColumn("score", F.round(F.col("score"), 6))
 
     # --- dedup family ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -254,6 +289,14 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT A
     o["fts_bm25_scores"] = _bm25_sql(BM25_Q, None)
     o["fts_bm25_topk"] = _bm25_sql(BM25_Q, 10)
     o["fts_exact_field"] = "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id"
+
+    # index-backed variants answer to the same oracles
+    o["idx_term"] = o["fts_term"]
+    o["idx_and"] = o["fts_and"]
+    o["idx_or"] = o["fts_or"]
+    o["idx_prefix"] = o["fts_prefix"]
+    o["idx_exact_field"] = o["fts_exact_field"]
+    o["idx_bm25_topk"] = o["fts_bm25_topk"]
 
     H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
     o["dedup_exact"] = f"""

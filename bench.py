@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...,
+ "build_turns_per_sec": ..., "index_query_sec": {...}}
+
+Covers both halves of the BASELINE.json metric: index-build
+throughput (turns/sec over a synthetic transcript corpus — the
+north_rule input shape) and BM25 top-10 query latency (persisted
+index, block-max pruning), plus the oracle-gated operator suite over
+the sf parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BUILD_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
+
+# headline operator queries (subset of __spark_entry__.queries())
+HEADLINE = [
+    "fts_term",
+    "fts_and",
+    "fts_bm25_scores",
+    "fts_bm25_topk",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
+    "rel_q1",
+    "events_sessions",
+]
+
+BM25_BENCH_QUERIES = [
+    "tok1 tok3 tok17",
+    "tok2 tok9 tok100 tok5000",
+    "tok1",
+]
+
+
+def _run_df(df) -> int:
+    """Force full execution without driver-side transfer cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from neosearch_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    t_start = time.time()
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _run_df(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- index build throughput (north_rule half 1) ----
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.docids import assign_doc_ids
+    from neosearch_spark.query import SparkIndex
+    from neosearch_spark.synth import synth_transcripts
+
+    idx_dir = "/tmp/bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    docs = assign_doc_ids(synth_transcripts(spark, BUILD_TURNS, seed=42))
+    IndexBuilder(idx_dir, exact_fields=["role", "tool"]).build(docs)
+    build_sec = time.time() - t0
+    turns_per_sec = BUILD_TURNS / build_sec
+    timings["index_build"] = round(build_sec, 3)
+
+    # ---- BM25 query latency over persisted index (half 2) ----
+    si = SparkIndex(spark, idx_dir)
+    index_query_sec = {}
+    for i, q in enumerate(BM25_BENCH_QUERIES):
+        t0 = time.time()
+        si.bm25_topk(q, 10, prune=True).collect()
+        index_query_sec[f"bm25_q{i}"] = round(time.time() - t0, 3)
+        timings[f"idx_bm25_q{i}"] = index_query_sec[f"bm25_q{i}"]
+    t0 = time.time()
+    si.term_docs("tok1").count()
+    timings["idx_term"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "build_turns": BUILD_TURNS,
+                "build_turns_per_sec": round(turns_per_sec, 1),
+                "index_query_sec": index_query_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,9 @@ from .analyzer import doc_len_col, terms_col
 K1 = 1.2
 B = 0.75
 DEFAULT_SPAN = 8192
+# bump when the on-disk layout or build semantics change — part of
+# the stage fingerprint so stale cached indexes never resume
+INDEX_FORMAT_VERSION = 1
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "
@@ -246,7 +249,10 @@ class IndexBuilder:
         }
 
         n_rows = docs.count()
-        fp = f"n={n_rows};fields={self.analyzed_fields}+{self.exact_fields};span={self.span}"
+        fp = (
+            f"v{INDEX_FORMAT_VERSION};n={n_rows};"
+            f"fields={self.analyzed_fields}+{self.exact_fields};span={self.span}"
+        )
 
         def stop(stage: str) -> bool:
             return stop_after is not None and stage == stop_after

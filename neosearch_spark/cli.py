@@ -1,0 +1,156 @@
+"""Job-spec CLI — the Spark-native replacement for the reference's
+REST service (``/root/reference/service/neosearch``) and command
+REPL (``cmd/cli``): a thin ``spark-submit --py-files`` entry point
+reading a JSON job spec, per SURVEY §3.3.
+
+Usage:
+  spark-submit --py-files neosearch_spark.zip -m neosearch_spark.cli build \
+      --input /path/transcripts_parquet --index /path/index
+  python -m neosearch_spark.cli query --index /path/index \
+      --dsl '{"$and": [{"text": "tok1"}, {"text": "tok2"}]}'
+  python -m neosearch_spark.cli search --index /path/index \
+      --query "distributed search index" -k 10
+  python -m neosearch_spark.cli synth --out /path --turns 100000
+
+The query DSL mirrors the reference's search JSON
+(``service/neosearch/index/search.go:58-92``): ``{"$and": [...]}`` /
+``{"$or": [...]}`` / bare ``{field: term}`` — with OR implementing
+the documented union semantics (divergence SURVEY §2.11.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("neosearch_cli", cores=args.cores)
+
+
+def cmd_build(args) -> int:
+    from .build import IndexBuilder
+    from .docids import assign_doc_ids
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns:
+        docs = assign_doc_ids(docs)
+    IndexBuilder(
+        args.index,
+        analyzed_fields=args.fields.split(","),
+        exact_fields=args.exact_fields.split(",") if args.exact_fields else [],
+        span=args.span,
+    ).build(docs, resume=args.resume)
+    print(json.dumps({"status": "ok", "index": args.index}))
+    return 0
+
+
+def _eval_dsl(idx, dsl: dict):
+    """Evaluate a reference-DSL query dict → doc_id DataFrame."""
+    if "$and" in dsl:
+        clauses = dsl["$and"]
+        res = None
+        for c in clauses:
+            d = _eval_dsl(idx, c)
+            res = d if res is None else res.join(d, "doc_id", "inner")
+        return res.orderBy("doc_id")
+    if "$or" in dsl:
+        res = None
+        for c in dsl["$or"]:
+            d = _eval_dsl(idx, c)
+            res = d if res is None else res.unionByName(d)
+        return res.distinct().orderBy("doc_id")
+    (field, term), = dsl.items()
+    if isinstance(term, dict) and "$prefix" in term:
+        return idx.prefix_docs(term["$prefix"], field=field)
+    return idx.term_docs(str(term), field=field)
+
+
+def cmd_query(args) -> int:
+    from .query import SparkIndex
+
+    spark = _spark(args)
+    idx = SparkIndex(spark, args.index)
+    ids = _eval_dsl(idx, json.loads(args.dsl))
+    docs = idx.get_docs(ids, limit=args.limit)
+    total = ids.count()
+    results = [r.asDict() for r in docs.collect()]
+    for r in results:
+        r.pop("ts", None)  # not JSON-serializable without formatting
+    print(json.dumps({"total": total, "results": results}, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .query import SparkIndex
+
+    spark = _spark(args)
+    idx = SparkIndex(spark, args.index)
+    top = idx.bm25_topk(args.query, k=args.k, prune=not args.no_prune).collect()
+    print(
+        json.dumps(
+            {
+                "total": len(top),
+                "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from .docids import assign_doc_ids
+    from .synth import synth_transcripts
+
+    spark = _spark(args)
+    df = assign_doc_ids(synth_transcripts(spark, args.turns, seed=args.seed))
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"status": "ok", "rows": args.turns, "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="neosearch_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build index from parquet transcripts")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--fields", default="text")
+    b.add_argument("--exact-fields", default="role,tool")
+    b.add_argument("--span", type=int, default=8192)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="boolean DSL query (reference search JSON)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--dsl", required=True)
+    q.add_argument("--limit", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("search", help="BM25 top-k")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--no-prune", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    y = sub.add_parser("synth", help="generate deterministic transcripts")
+    y.add_argument("--out", required=True)
+    y.add_argument("--turns", type=int, required=True)
+    y.add_argument("--seed", type=int, default=42)
+    y.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

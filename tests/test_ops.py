@@ -1,0 +1,136 @@
+"""Training-data pipeline operators: dedup, ANN, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neosearch_spark.ops import ann, dedup, multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown fox"),          # exact dup of 0
+        (2, "The  quick brown fox"),         # normalizes differently (double space)
+        (3, "the quick brown fox jumps"),    # near dup
+        (4, "completely different text here"),
+        (5, "fox brown quick the"),          # same token set, different order
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = dedup.exact_dedup(dup_docs).collect()
+    groups = {r["survivor_id"]: r["n_dups"] for r in out}
+    assert groups[0] == 2  # docs 0,1
+    assert sum(groups.values()) == 6
+    assert len(groups) == 5
+
+
+def test_jaccard_pairs(spark, dup_docs):
+    out = dedup.jaccard_pairs(dup_docs, threshold=0.99).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 5) in pairs  # same token set
+    assert (0, 4) not in pairs
+
+
+def test_minhash_identical_docs_same_signature(spark, dup_docs):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+            for r in dedup.minhash_signatures(dup_docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[5]  # same token sets
+    assert sigs[0] != sigs[4]
+
+
+def test_minhash_lsh_buckets(spark, dup_docs):
+    buckets = dedup.minhash_lsh_buckets(dup_docs, n_hashes=16, band_size=4).collect()
+    # identical docs must co-bucket in every band
+    assert any(r["bucket_size"] >= 3 for r in buckets)
+
+
+def test_simhash_close_for_neardups(spark, dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs, bits=32).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[1]
+    assert hamming(sh[0], sh[3]) <= hamming(sh[0], sh[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 8))
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_neardup(spark, vectors):
+    top = ann.cosine_topk(vectors, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["cosine"] > 0.99
+
+
+def test_numpy_variant_matches_sql_variant(spark, vectors):
+    qv = np.array(vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    a = [(r["vec_id"], round(r["cosine"], 6))
+         for r in ann.cosine_topk(vectors, 0, k=5).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 6))
+         for r in ann.cosine_topk_numpy(vectors.where(F.col("vec_id") != 0), qv, k=5).collect()]
+    assert a == b
+
+
+def test_lsh_bucketed_pairs_subset_of_exact(spark, vectors):
+    exact = {(r["id_a"], r["id_b"]) for r in ann.cosine_pairs_above(vectors, 0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in ann.lsh_bucketed_pairs(vectors, 0.9, n_planes=4, dim=8).collect()}
+    assert lsh <= exact
+    assert (0, 1) in exact
+
+
+def test_quality_stats(spark, dup_docs):
+    out = {r["doc_id"]: r for r in textstats.quality_stats(dup_docs).collect()}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["ttr"] == 1.0
+    assert out[0]["stopword_ratio"] == 0.25  # 'the'
+    assert 0.0 <= out[4]["quality"] <= 1.0
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog is here"),
+        (1, "el perro de la casa que ladra"),
+        (2, "der hund und die katze das haus"),
+        (3, "le chat et la maison les arbres"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprints_order_insensitive(spark, dup_docs):
+    fp = {r["doc_id"]: r for r in textstats.fingerprints(dup_docs).collect()}
+    assert fp[0]["text_md5"] == fp[1]["text_md5"]
+    assert fp[0]["content_md5"] == fp[5]["content_md5"]  # shuffled tokens
+    assert fp[0]["text_md5"] != fp[5]["text_md5"]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synth_media(spark, 30, seed=1)
+    f1 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media, dim=8).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media, dim=8).collect()}
+    assert f1 == f2
+    assert len(f1) == 30 and len(f1[0]) == 8
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, 30, seed=1)
+    frames = multimodal.frame_sample_plan(media, every_ms=500)
+    rows = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)

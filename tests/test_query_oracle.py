@@ -1,0 +1,84 @@
+"""End-to-end rank-identity vs the pure-Python oracle over a
+synthetic corpus (SURVEY §5c, FIXTURES F5), incl. WAND-pruning
+losslessness and the per-turn text-equality invariant."""
+
+from __future__ import annotations
+
+import pytest
+
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.docids import assign_doc_ids
+from neosearch_spark.oracle import OracleIndex
+from neosearch_spark.query import SparkIndex
+from neosearch_spark.synth import synth_transcripts
+
+N_TURNS = 600
+
+QUERIES = [
+    "tok1 tok3 tok17",
+    "neoway business solution",
+    "tok2 tok2 tok5",  # duplicate query term
+    "tok1",
+    "missingterm tok4",
+    "MiXeD case tok9",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    docs = assign_doc_ids(synth_transcripts(spark, N_TURNS, seed=11))
+    d = str(tmp_path_factory.mktemp("oracle_idx"))
+    IndexBuilder(d, span=128).build(docs)
+    rows = docs.select("doc_id", "text").collect()
+    oi = OracleIndex({r["doc_id"]: r["text"] for r in rows})
+    return SparkIndex(spark, d), oi, docs
+
+
+def test_boolean_vs_oracle(corpus):
+    si, oi, _ = corpus
+    assert [r["doc_id"] for r in si.term_docs("tok1").collect()] == oi.term("tok1")
+    assert [r["doc_id"] for r in si.and_docs(["tok1", "tok2"]).collect()] == oi.and_(["tok1", "tok2"])
+    assert [r["doc_id"] for r in si.or_docs(["neoway", "google"]).collect()] == oi.or_(["neoway", "google"])
+    assert [r["doc_id"] for r in si.prefix_docs("tok10").collect()] == oi.prefix("tok10")
+    assert [r["doc_id"] for r in si.not_docs(["tok1"], ["tok2"]).collect()] == oi.not_(["tok1"], ["tok2"])
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_bm25_rank_identity(corpus, q):
+    si, oi, _ = corpus
+    want = oi.bm25_topk(q, 10)
+    got = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=False).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9, (q, g, w)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_pruning_lossless(corpus, q):
+    si, _, _ = corpus
+    exhaustive = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=False).collect()]
+    pruned = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=True).collect()]
+    assert pruned == exhaustive, q
+
+
+def test_get_docs_materialization(corpus):
+    si, oi, _ = corpus
+    top = si.bm25_topk("tok1 tok3", 5)
+    docs = si.get_docs(top.select("doc_id")).collect()
+    assert len(docs) == 5
+    assert {r["doc_id"] for r in docs} == {d for d, _ in oi.bm25_topk("tok1 tok3", 5)}
+
+
+def test_per_turn_text_equality_invariant(corpus):
+    """input_hint invariant: per-turn text survives the pipeline
+    byte-identically under stable (conv_id, turn_idx) ordering."""
+    si, _, docs = corpus
+    src = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in docs.select("conv_id", "turn_idx", "text").collect()
+    }
+    stored = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in si.docs.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert src == stored
