@@ -51,45 +51,54 @@ B = 0.75
 DEFAULT_SPAN = 8192
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 3
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "
     "docs_enc binary, tfs_enc binary, dls_enc binary, max_tf double, "
-    "max_tf_norm double, part_id int"
+    "max_tf_norm double, enc_avgdl double, part_id int"
 )
 
 
 def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]) -> DataFrame:
-    """(field, term, doc_id, tf) for every indexed field.
+    """(field, term, doc_id, tf, dl) for every indexed field.
 
     Analyzed fields explode their term arrays; exact fields index the
     raw value as a single term (the reference's single-token path,
-    ``index.go:510-544``)."""
+    ``index.go:510-544``).  The BM25 document length (over the primary
+    analyzed field) rides along from the start — it's constant per
+    doc, so carrying it through the groupBy costs nothing and saves a
+    large tf⋈doc_len shuffle join later."""
+    with_dl = docs.withColumn("_dl", doc_len_col(F.col(analyzed_fields[0])))
     parts = []
     for f in analyzed_fields:
         parts.append(
-            docs.select(
+            with_dl.select(
                 F.lit(f).alias("field"),
                 F.explode(terms_col(F.col(f))).alias("term"),
                 F.col("doc_id"),
+                F.col("_dl"),
             )
         )
     for f in exact_fields:
         parts.append(
-            docs.where(F.col(f).isNotNull() & (F.col(f) != "")).select(
+            with_dl.where(F.col(f).isNotNull() & (F.col(f) != "")).select(
                 F.lit(f).alias("field"),
                 F.col(f).alias("term"),
                 F.col("doc_id"),
+                F.col("_dl"),
             )
         )
     allt = parts[0]
     for p in parts[1:]:
         allt = allt.unionByName(p)
     # map-side partial aggregation makes this shuffle skew-safe:
-    # (field, term, doc_id) keys are spread by doc_id.
-    return allt.groupBy("field", "term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
+    # (field, term, doc_id) keys are spread by doc_id.  _dl is
+    # functionally dependent on doc_id, so grouping by it is free.
+    return (
+        allt.groupBy("field", "term", "doc_id", "_dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumnRenamed("_dl", "dl")
     )
 
 
@@ -114,6 +123,7 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
                 "dls_enc": pd.Series(dtype="object"),
                 "max_tf": pd.Series(dtype="float64"),
                 "max_tf_norm": pd.Series(dtype="float64"),
+                "enc_avgdl": pd.Series(dtype="float64"),
                 "part_id": pd.Series(dtype="int32"),
             }
         )
@@ -161,6 +171,10 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
             "dls_enc": slices(dls_buf, dls_len),
             "max_tf": np.maximum.reduceat(tf, starts).astype(np.float64),
             "max_tf_norm": np.maximum.reduceat(tf_norm, starts),
+            # pruning bounds stay valid after compactions that shift
+            # avgdl: the query side inflates max_tf_norm by
+            # max(1, avgdl_now / enc_avgdl) — a provable upper bound
+            "enc_avgdl": np.full(len(starts), avgdl, dtype=np.float64),
             "part_id": np.full(len(starts), part, dtype=np.int32),
         }
     )
@@ -208,12 +222,15 @@ class IndexBuilder:
         return bool(ent and ent.get("fingerprint") == fingerprint and ent.get("ok"))
 
     def _mark_stage(self, m: dict, stage: str, fingerprint: str, **extra) -> None:
+        now = time.time()
         m["stages"][stage] = {
             "fingerprint": fingerprint,
             "ok": True,
-            "finished_at": time.time(),
+            "finished_at": now,
+            "duration_sec": round(now - self._stage_t0, 3),
             **extra,
         }
+        self._stage_t0 = now
         self._save_manifest(m)
 
     def path(self, name: str) -> str:
@@ -240,6 +257,7 @@ class IndexBuilder:
             if os.path.exists(self.manifest_path):
                 os.remove(self.manifest_path)
         m = self._load_manifest()
+        self._stage_t0 = time.time()
         m["params"] = {
             "analyzed_fields": self.analyzed_fields,
             "exact_fields": self.exact_fields,
@@ -248,7 +266,15 @@ class IndexBuilder:
             "b": B,
         }
 
-        n_rows = docs.count()
+        # resume trusts the persisted doc store for the row count
+        # (metadata-only parquet count) instead of re-scanning the
+        # input — the resume contract is "same input as the original
+        # run" (standard checkpoint semantics)
+        prior = m["stages"].get("docs", {})
+        if resume and prior.get("ok") and os.path.exists(self.path("docs")):
+            n_rows = spark.read.parquet(self.path("docs")).count()
+        else:
+            n_rows = docs.count()
         fp = (
             f"v{INDEX_FORMAT_VERSION};n={n_rows};"
             f"fields={self.analyzed_fields}+{self.exact_fields};span={self.span}"
@@ -302,9 +328,8 @@ class IndexBuilder:
         # stage: blocks (span-aligned, delta+varint, block-max meta)
         if not self._stage_done(m, "blocks", fp):
             span = self.span
-            enriched = (
-                tf_t.join(dl_t, "doc_id")  # sort-merge join, both large
-                .withColumn("span_id", (F.col("doc_id") / span).cast("long"))
+            enriched = tf_t.withColumn(
+                "span_id", (F.col("doc_id") / span).cast("long")
             )
             nparts = max(4, spark.sparkContext.defaultParallelism)
             arranged = (
@@ -314,8 +339,37 @@ class IndexBuilder:
             )
 
             def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                # Arrow hands the partition over in ~10k-row batches; a
+                # (term, span) group can straddle a batch boundary, which
+                # would fragment its block.  Hold back each batch's last
+                # group and prepend it to the next batch (bounded memory:
+                # ≤ span rows carried).
+                carry: pd.DataFrame | None = None
                 for pdf in it:
-                    yield _encode_blocks_batch(pdf, avgdl=avgdl, span=span)
+                    if carry is not None:
+                        pdf = pd.concat([carry, pdf], ignore_index=True)
+                        carry = None
+                    if len(pdf) == 0:
+                        continue
+                    last = pdf.iloc[-1]
+                    tail_mask = (
+                        (pdf["field"] == last["field"])
+                        & (pdf["term"] == last["term"])
+                        & (pdf["span_id"] == last["span_id"])
+                    )
+                    # boundary of the trailing group (contiguous by sort)
+                    tail_start = len(pdf) - int(tail_mask.iloc[::-1].cummin().sum())
+                    if tail_start == 0:
+                        carry = pdf  # whole batch is one group; keep carrying
+                        continue
+                    carry = pdf.iloc[tail_start:].reset_index(drop=True)
+                    yield _encode_blocks_batch(
+                        pdf.iloc[:tail_start].reset_index(drop=True),
+                        avgdl=avgdl,
+                        span=span,
+                    )
+                if carry is not None and len(carry):
+                    yield _encode_blocks_batch(carry, avgdl=avgdl, span=span)
 
             blocks = arranged.mapInPandas(encode, schema=BLOCK_SCHEMA)
             blocks.write.mode("overwrite").parquet(self.path("blocks"))

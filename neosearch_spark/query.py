@@ -166,20 +166,27 @@ class SparkIndex:
 
     # ---------------- BM25 ----------------
 
-    def idfs(self, qterms: list[str], field: str = "text") -> dict[str, float]:
+    def idfs(
+        self, qterms: list[str], field: str = "text"
+    ) -> tuple[dict[str, float], int]:
+        """Per-term idf plus the total block count for the query terms
+        (free from the terms table — drives the prune/exhaustive
+        decision without an extra job)."""
         rows = (
             self.terms.where(
                 (F.col("field") == field) & F.col("term").isin(list(set(qterms)))
             )
-            .select("term", "df")
+            .select("term", "df", "n_blocks")
             .collect()
         )
         dfmap = {r["term"]: int(r["df"]) for r in rows}
+        total_blocks = sum(int(r["n_blocks"]) for r in rows)
         n = self.n_docs
-        return {
+        idf = {
             t: math.log(1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5))
             for t in qterms
         }
+        return idf, total_blocks
 
     def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
         """Per-span exact scoring: ≤k (doc_id, score) rows per span.
@@ -240,11 +247,17 @@ class SparkIndex:
         qterms = analyze_query(query)
         if not qterms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf = self.idfs(qterms, field)
+        idf, total_blocks = self.idfs(qterms, field)
         uniq = list(dict.fromkeys(qterms))
         blocks_q = self.blocks.where(
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
+
+        # pruning pays for its extra driver round-trips only when
+        # there are enough blocks to skip; below the threshold the
+        # exhaustive path is one job instead of three
+        if prune and total_blocks <= 64:
+            prune = False
 
         if prune:
             # occurrence-weighted upper bound per span
@@ -253,10 +266,15 @@ class SparkIndex:
                  {u: qterms.count(u) for u in uniq}.items()],
                 "term string, w double",
             )
+            # inflate stale bounds when the corpus avgdl moved since a
+            # block was encoded (post-compaction safety — see build.py)
+            bound = F.col("max_tf_norm") * F.greatest(
+                F.lit(1.0), F.lit(self.avgdl) / F.col("enc_avgdl")
+            )
             ub = (
                 blocks_q.join(F.broadcast(wts), "term")
                 .groupBy("span_id")
-                .agg(F.sum(F.col("w") * F.col("max_tf_norm")).alias("ub"))
+                .agg(F.sum(F.col("w") * bound).alias("ub"))
             )
             n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
             boot_spans = [

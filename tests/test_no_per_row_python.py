@@ -22,6 +22,8 @@ def test_no_row_at_a_time_udf():
         if re.search(r"\bfor\s+\w+\s+in\s+\w+\.collect\(\)", src):
             # driver-side loops over collect() of non-tiny data are
             # reviewed individually; none should exist in operators
-            if p.name not in ("docids.py",):  # partition-stats collect is O(#partitions)
+            # docids: partition-stats collect is O(#partitions);
+            # cli: JSON-formats an already-limited result set
+            if p.name not in ("docids.py", "cli.py"):
                 bad.append(str(p) + " (collect loop)")
     assert not bad, bad

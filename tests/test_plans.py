@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the properties that make this engine
+scale must be visible in `explain` output (SURVEY §4) — filters
+reach the parquet scan, small sides broadcast, no Python in the
+built-in-only paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosearch_spark import fts
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.query import SparkIndex
+from neosearch_spark.synth import synth_transcripts
+from neosearch_spark.docids import assign_doc_ids
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    docs = assign_doc_ids(synth_transcripts(spark, 300, seed=13))
+    IndexBuilder(d, span=64).build(docs)
+    return SparkIndex(spark, d)
+
+
+def test_term_filter_pushed_to_blocks_scan(idx):
+    plan = plan_of(idx.blocks.where(F.col("term") == "tok1"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,tok1)" in plan
+
+
+def test_prefix_filter_pushed(idx):
+    plan = plan_of(idx.blocks.where(F.col("term").startswith("tok")))
+    assert "StringStartsWith(term,tok)" in plan
+
+
+def test_get_docs_broadcasts_id_side(spark, idx):
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    plan = plan_of(idx.get_docs(ids))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_direct_bm25_broadcasts_stats_and_df(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok1") for i in range(50)], "doc_id long, text string"
+    )
+    plan = plan_of(fts.bm25_scores(docs, ["tok1", "tok2"]))
+    assert plan.count("BroadcastHashJoin") >= 2  # dfreq + mult joins
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # stats crossJoin
+
+
+def test_builtin_paths_have_no_python_eval(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok1") for i in range(50)], "doc_id long, text string"
+    )
+    for df in [
+        fts.matching_docs(docs, "tok1"),
+        fts.bm25_topk(docs, ["tok1"], 5),
+        fts.prefix_docs(docs, "tok"),
+    ]:
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # whole-stage codegen active on the scoring plan
+    assert "WholeStageCodegen" in plan_of(fts.bm25_scores(docs, ["tok1"]))
+
+
+def test_doc_scan_prunes_columns(spark, idx):
+    plan = plan_of(idx.docs.select("doc_id", "conv_id"))
+    assert "ReadSchema: struct<doc_id:bigint,conv_id:string>" in plan

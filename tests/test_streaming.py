@@ -1,0 +1,103 @@
+"""Streaming ingest + compaction: base index + streamed delta +
+compact == full batch rebuild (posting identity, BM25 rank
+identity, WAND still lossless with mixed-era blocks)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.docids import assign_doc_ids
+from neosearch_spark.query import SparkIndex
+from neosearch_spark.streaming import compact_deltas, stream_ingest, windowed_event_counts
+from neosearch_spark.synth import synth_transcripts
+
+N = 400
+SPLIT = 300
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    docs = assign_doc_ids(synth_transcripts(spark, N, seed=31)).cache()
+
+    full_dir = str(root / "full_idx")
+    IndexBuilder(full_dir, span=64).build(docs)
+
+    base_dir = str(root / "base_idx")
+    IndexBuilder(base_dir, span=64).build(docs.where(F.col("doc_id") < SPLIT))
+
+    # stream the remaining turns in as new files
+    delta_src = str(root / "delta_src")
+    docs.where(F.col("doc_id") >= SPLIT).coalesce(2).write.mode("overwrite").parquet(delta_src)
+    q = stream_ingest(spark, delta_src, base_dir, str(root / "ckpt"))
+    q.awaitTermination(120)
+    n_touched = compact_deltas(spark, base_dir)
+    assert n_touched > 0
+    return SparkIndex(spark, full_dir), SparkIndex(spark, base_dir), docs
+
+
+def test_posting_identity_after_compaction(setup):
+    full, merged, _ = setup
+    for term in ["tok1", "tok2", "neoway", "tok17"]:
+        a = [r["doc_id"] for r in full.term_docs(term).collect()]
+        b = [r["doc_id"] for r in merged.term_docs(term).collect()]
+        assert a == b, term
+
+
+def test_stats_updated(setup):
+    full, merged, _ = setup
+    assert merged.n_docs == full.n_docs == N
+    assert abs(merged.avgdl - full.avgdl) < 1e-9
+
+
+def test_bm25_identity_after_compaction(setup):
+    full, merged, _ = setup
+    for q in ["tok1 tok3 tok17", "tok2 tok5"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in full.bm25_topk(q, 10, prune=False).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in merged.bm25_topk(q, 10, prune=False).collect()]
+        assert a == b, q
+
+
+def test_wand_lossless_with_mixed_era_blocks(setup):
+    _, merged, _ = setup
+    # avgdl changed between base build and compaction → stale
+    # enc_avgdl bounds must still prune losslessly
+    for q in ["tok1 tok3 tok17", "tok1"]:
+        ex = [(r["doc_id"], round(r["score"], 9)) for r in merged.bm25_topk(q, 10, prune=False).collect()]
+        pr = [(r["doc_id"], round(r["score"], 9)) for r in merged.bm25_topk(q, 10, prune=True).collect()]
+        assert ex == pr, q
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 30:02d}:00", i % 3, f"type{i % 2}", float(i)) for i in range(200)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, value double, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, "5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = windowed_event_counts(spark.read.parquet(src), "5 minutes").collect()
+    # append-mode emits only watermark-closed windows; batch mode has all.
+    # verify streaming produced a subset with matching values
+    got = {(str(r["window"]), r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from winout").collect()}
+    want = {(str(r["window"]), r["event_type"]): (r["n"], r["total_value"]) for r in batch}
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert want[k] == v
