@@ -65,10 +65,18 @@ def test_builtin_paths_have_no_python_eval(spark):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-    # whole-stage codegen active on the scoring plan
-    assert "WholeStageCodegen" in plan_of(fts.bm25_scores(docs, ["tok1"]))
+    # whole-stage codegen active on the scoring plan (AQE only shows codegen
+    # spans in the *final* plan, so execute before inspecting)
+    scored = fts.bm25_scores(docs, ["tok1"])
+    scored.collect()
+    # "*(n) Op" is the simple-string marker for a whole-stage-codegen span
+    assert "*(" in plan_of(scored)
 
 
 def test_doc_scan_prunes_columns(spark, idx):
     plan = plan_of(idx.docs.select("doc_id", "conv_id"))
-    assert "ReadSchema: struct<doc_id:bigint,conv_id:string>" in plan
+    # pruned scan reads exactly the two projected columns (order is scan-order)
+    assert (
+        "ReadSchema: struct<doc_id:bigint,conv_id:string>" in plan
+        or "ReadSchema: struct<conv_id:string,doc_id:bigint>" in plan
+    )
