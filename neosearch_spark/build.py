@@ -48,10 +48,18 @@ from .analyzer import doc_len_col, terms_col
 
 K1 = 1.2
 B = 0.75
-DEFAULT_SPAN = 8192
+# Span sizing: a block group holds ≤ span postings (≈2 bytes/posting
+# varint-encoded → ≤ ~256 KiB per block) and the query-side dense
+# accumulator is span × 8 B = 1 MiB — both comfortably in-memory per
+# task.  Larger spans shrink the block count toward the vocabulary
+# floor (rare terms stop fragmenting across spans): 8192 → 1.16 M
+# blocks for 4.4 M postings at 400 k turns, 131072 → 0.51 M.  At the
+# 10^12-turn target this still yields ~7.6 M spans — ample partitions
+# for a 4000-core cluster and fine-grained block-max pruning.
+DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k-row Arrow batches add ~4x overhead to the
+        # mapInPandas block encoder; 512k rows ≈ 25-50 MB per batch
+        # per core — well within executor memory at 32 cores
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -33,10 +33,22 @@ import pyspark.sql.functions as F
 cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); out = sys.argv[3]
 spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=cores)
 spark.range(1000).selectExpr("sum(id)").collect()  # warm
+# identical input table at both levels, materialized OUTSIDE the
+# timed region (the metric is build throughput over an existing
+# transcripts table, not generator speed)
+corpus = f"/tmp/scale_corpus_{{n_turns}}"
+if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+    synth_transcripts(spark, n_turns, seed=42).write.mode("overwrite").parquet(corpus)
+# small untimed warm-up build (JIT/codegen per stage shape)
+warm = f"/tmp/scale_warm_{{cores}}"
+shutil.rmtree(warm, ignore_errors=True)
+IndexBuilder(warm, exact_fields=["role", "tool"]).build(
+    assign_doc_ids(synth_transcripts(spark, 20_000, seed=7))
+)
 idx = f"/tmp/scale_idx_{{cores}}"
 shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
-docs = assign_doc_ids(synth_transcripts(spark, n_turns, seed=42))
+docs = assign_doc_ids(spark.read.parquet(corpus))
 IndexBuilder(idx, exact_fields=["role", "tool"]).build(docs)
 build_sec = time.time() - t0
 si = SparkIndex(spark, idx)
