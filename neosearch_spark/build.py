@@ -59,7 +59,7 @@ B = 0.75
 DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "
@@ -68,16 +68,20 @@ BLOCK_SCHEMA = (
 )
 
 
-def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]) -> DataFrame:
-    """(field, term, doc_id, tf, dl) for every indexed field.
+def _occurrence_stream(
+    docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]
+) -> DataFrame:
+    """(field, term, doc_id, dl) — one row per term OCCURRENCE.
 
     Analyzed fields explode their term arrays; exact fields index the
     raw value as a single term (the reference's single-token path,
     ``index.go:510-544``).  The BM25 document length (over the primary
     analyzed field) rides along from the start — it's constant per
-    doc, so carrying it through the groupBy costs nothing and saves a
-    large tf⋈doc_len shuffle join later."""
-    with_dl = docs.withColumn("_dl", doc_len_col(F.col(analyzed_fields[0])))
+    doc, so carrying it costs nothing and saves a large shuffle join
+    later.  tf is NOT aggregated here: the block encoder collapses
+    sorted duplicate runs, which turns the build into a single
+    shuffle (see IndexBuilder.build)."""
+    with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
     parts = []
     for f in analyzed_fields:
         parts.append(
@@ -85,7 +89,7 @@ def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[s
                 F.lit(f).alias("field"),
                 F.explode(terms_col(F.col(f))).alias("term"),
                 F.col("doc_id"),
-                F.col("_dl"),
+                F.col("dl"),
             )
         )
     for f in exact_fields:
@@ -94,19 +98,23 @@ def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[s
                 F.lit(f).alias("field"),
                 F.col(f).alias("term"),
                 F.col("doc_id"),
-                F.col("_dl"),
+                F.col("dl"),
             )
         )
     allt = parts[0]
     for p in parts[1:]:
         allt = allt.unionByName(p)
-    # map-side partial aggregation makes this shuffle skew-safe:
-    # (field, term, doc_id) keys are spread by doc_id.  _dl is
-    # functionally dependent on doc_id, so grouping by it is free.
+    return allt
+
+
+def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]) -> DataFrame:
+    """(field, term, doc_id, tf, dl) — aggregated term frequencies
+    (used by the streaming incremental path, where deltas must merge
+    with base postings by key)."""
     return (
-        allt.groupBy("field", "term", "doc_id", "_dl")
+        _occurrence_stream(docs, analyzed_fields, exact_fields)
+        .groupBy("field", "term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumnRenamed("_dl", "dl")
     )
 
 
@@ -135,20 +143,47 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
                 "part_id": pd.Series(dtype="int32"),
             }
         )
-    field = pdf["field"].to_numpy()
-    term = pdf["term"].to_numpy()
-    span_id = pdf["span_id"].to_numpy(dtype=np.int64)
-    doc_id = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tf = pdf["tf"].to_numpy(dtype=np.int64)
-    dl = pdf["dl"].to_numpy(dtype=np.int64)
+    # factorized int codes: group detection in C, not per-row Python
+    # string compares
+    fcode = pd.factorize(pdf["field"], sort=False)[0]
+    tcode = pd.factorize(pdf["term"], sort=False)[0]
+    span_all = pdf["span_id"].to_numpy(dtype=np.int64)
+    doc_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dl_all = pdf["dl"].to_numpy(dtype=np.int64)
+    # occurrence rows carry no tf (single-shuffle path); aggregated
+    # rows (streaming merge path) carry it — unify by run-sum below
+    if "tf" in pdf.columns:
+        tf_all = pdf["tf"].to_numpy(dtype=np.int64)
+    else:
+        tf_all = np.ones(len(pdf), dtype=np.int64)
     part = int(pdf["part_id"].iloc[0]) if "part_id" in pdf else -1
 
-    new_group = np.ones(len(pdf), dtype=bool)
+    # collapse duplicate (field, term, span, doc) runs → postings
+    p_new = np.ones(len(pdf), dtype=bool)
+    p_new[1:] = (
+        (fcode[1:] != fcode[:-1])
+        | (tcode[1:] != tcode[:-1])
+        | (span_all[1:] != span_all[:-1])
+        | (doc_all[1:] != doc_all[:-1])
+    )
+    ps = np.nonzero(p_new)[0]
+    tf = np.add.reduceat(tf_all, ps)
+    doc_id = doc_all[ps]
+    dl = dl_all[ps]
+    span_id = span_all[ps]
+    fcode_p = fcode[ps]
+    tcode_p = tcode[ps]
+    field = pdf["field"].to_numpy()[ps]
+    term = pdf["term"].to_numpy()[ps]
+
+    new_group = np.ones(len(ps), dtype=bool)
     new_group[1:] = (
-        (field[1:] != field[:-1]) | (term[1:] != term[:-1]) | (span_id[1:] != span_id[:-1])
+        (fcode_p[1:] != fcode_p[:-1])
+        | (tcode_p[1:] != tcode_p[:-1])
+        | (span_id[1:] != span_id[:-1])
     )
     starts = np.nonzero(new_group)[0]
-    ends = np.concatenate((starts[1:], [len(pdf)]))
+    ends = np.concatenate((starts[1:], [len(ps)]))
 
     # delta with reset at group starts
     deltas = np.empty(len(doc_id), dtype=np.uint64)
@@ -194,7 +229,7 @@ class IndexBuilder:
     checkpoint-resume (stage manifests + per-partition counters —
     north_rule)."""
 
-    STAGES = ["docs", "doc_len", "stats", "tf", "blocks", "terms", "counters"]
+    STAGES = ["docs", "doc_len", "stats", "blocks", "terms", "counters"]
 
     def __init__(
         self,
@@ -324,24 +359,41 @@ class IndexBuilder:
         stats_row = spark.read.parquet(self.path("stats")).collect()[0]
         avgdl = float(stats_row["avgdl"])
 
-        # stage: tf (term-frequency stream)
-        if not self._stage_done(m, "tf", fp):
-            tf = _tf_stream(docs_t, self.analyzed_fields, self.exact_fields)
-            tf.write.mode("overwrite").parquet(self.path("tf"))
-            self._mark_stage(m, "tf", fp)
-        if stop("tf"):
-            return
-        tf_t = spark.read.parquet(self.path("tf"))
-
-        # stage: blocks (span-aligned, delta+varint, block-max meta)
+        # stage: blocks (span-aligned, delta+varint, block-max meta).
+        # ONE shuffle: the raw occurrence stream range-partitions by
+        # (field, term, span) and sorts; the encoder collapses sorted
+        # duplicate runs into tf — no separate groupBy shuffle and no
+        # tf intermediate table.
         if not self._stage_done(m, "blocks", fp):
             span = self.span
-            enriched = tf_t.withColumn(
+            # 4x overpartition (see nparts below).  The scan packs
+            # small parquet files into few tasks (maxPartitionBytes /
+            # openCostInBytes), which would serialize the CPU-heavy
+            # tokenize+explode map side — spread the doc rows first
+            # when the scan has too few partitions (at real scale the
+            # file splits already exceed nparts and this is a no-op).
+            nparts = max(4, 4 * spark.sparkContext.defaultParallelism)
+            docs_in = docs_t
+            if docs_in.rdd.getNumPartitions() < nparts:
+                docs_in = docs_in.repartition(nparts)
+            occ = _occurrence_stream(
+                docs_in, self.analyzed_fields, self.exact_fields
+            )
+            enriched = occ.withColumn(
                 "span_id", (F.col("doc_id") / span).cast("long")
             )
-            nparts = max(4, spark.sparkContext.defaultParallelism)
+            # HASH partition by the block key, then sort within
+            # partitions: gives the encoder co-located, contiguous
+            # (field, term, span) groups WITHOUT repartitionByRange's
+            # extra sampling pass (which re-runs tokenize+explode over
+            # the whole corpus just to pick boundaries).  Each output
+            # file is still term-sorted internally, so parquet
+            # row-group min/max stats keep pruning term lookups.
+            # 4x overpartition: smaller per-task sorts + pipelined
+            # Arrow/Python encode behind the shuffle (measured ~2x on
+            # the encode step vs 1x parallelism at 33M rows).
             arranged = (
-                enriched.repartitionByRange(nparts, "field", "term", "span_id")
+                enriched.repartition(nparts, "field", "term", "span_id")
                 .sortWithinPartitions("field", "term", "span_id", "doc_id")
                 .withColumn("part_id", F.spark_partition_id())
             )

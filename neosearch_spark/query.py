@@ -168,10 +168,10 @@ class SparkIndex:
 
     def idfs(
         self, qterms: list[str], field: str = "text"
-    ) -> tuple[dict[str, float], int]:
-        """Per-term idf plus the total block count for the query terms
-        (free from the terms table — drives the prune/exhaustive
-        decision without an extra job)."""
+    ) -> tuple[dict[str, float], int, int]:
+        """Per-term idf plus the total block/posting counts for the
+        query terms (free from the terms table — drives the
+        local/distributed/prune path decision without an extra job)."""
         rows = (
             self.terms.where(
                 (F.col("field") == field) & F.col("term").isin(list(set(qterms)))
@@ -181,12 +181,13 @@ class SparkIndex:
         )
         dfmap = {r["term"]: int(r["df"]) for r in rows}
         total_blocks = sum(int(r["n_blocks"]) for r in rows)
+        total_postings = sum(dfmap.values())
         n = self.n_docs
         idf = {
             t: math.log(1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5))
             for t in qterms
         }
-        return idf, total_blocks
+        return idf, total_blocks, total_postings
 
     def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
         """Per-span exact scoring: ≤k (doc_id, score) rows per span.
@@ -237,21 +238,77 @@ class SparkIndex:
             score, schema="doc_id long, score double"
         )
 
+    # below this many total postings across the query's terms, the
+    # compressed blocks are a few MB — fetch them with one pushed-down
+    # scan and score locally (the "broadcast posting blocks" fast
+    # path; one-two Spark jobs instead of four).  Above it, the
+    # distributed per-span path takes over (a hot term at 10^12 turns
+    # can never be collected).
+    LOCAL_SCORE_MAX_POSTINGS = 5_000_000
+
+    def _score_local(
+        self, blocks_q: DataFrame, qterms: list[str], idf: dict, k: int
+    ) -> DataFrame:
+        """Driver-local scoring of the (small) query-term block set.
+
+        Float op order is identical to ``_score_spans`` and the pytest
+        oracle: per query term IN QUERY ORDER, ``acc += idf·tf_norm``
+        (float64), tie-break (score desc, doc_id asc)."""
+        rows = blocks_q.select(
+            "term", "span_id", "first_doc", "docs_enc", "tfs_enc", "dls_enc"
+        ).collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        decoded: dict[str, tuple] = {}
+        for t, rs in by_term.items():
+            rs.sort(key=lambda r: (r["span_id"], r["first_doc"]))
+            ids = np.concatenate([decode_postings(r["docs_enc"]) for r in rs])
+            tfs = np.concatenate([decode_tfs(r["tfs_enc"]) for r in rs]).astype(np.float64)
+            dls = np.concatenate([decode_tfs(r["dls_enc"]) for r in rs]).astype(np.float64)
+            decoded[t] = (ids, tfs, dls)
+        if not decoded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        all_ids = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+        acc = np.zeros(all_ids.size, dtype=np.float64)
+        avgdl = self.avgdl
+        for t in qterms:  # duplicates accumulate once per occurrence
+            if t not in decoded:
+                continue
+            ids, tfs, dls = decoded[t]
+            tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            acc[np.searchsorted(all_ids, ids)] += idf[t] * tf_norm
+        order = np.lexsort((all_ids, -acc))[:k]
+        out = [(int(all_ids[i]), float(acc[i])) for i in order]
+        return self.spark.createDataFrame(
+            out, "doc_id long, score double"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
     def bm25_topk(
-        self, query: str, k: int = 10, field: str = "text", prune: bool = True
+        self, query: str, k: int = 10, field: str = "text", prune: bool = True,
+        mode: str = "auto",
     ) -> DataFrame:
         """BM25 top-k, ordered (score desc, doc_id asc).
 
-        prune=True enables block-max span pruning; result is
-        provably identical to prune=False (tested)."""
+        mode: "auto" picks the driver-local broadcast-blocks path when
+        the query's posting volume is small (one pushed-down scan),
+        else the distributed per-span path; "local"/"distributed"
+        force a path.  prune=True enables block-max span pruning on
+        the distributed path; all paths are provably identical
+        (tested)."""
         qterms = analyze_query(query)
         if not qterms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf, total_blocks = self.idfs(qterms, field)
+        idf, total_blocks, total_postings = self.idfs(qterms, field)
         uniq = list(dict.fromkeys(qterms))
         blocks_q = self.blocks.where(
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
+
+        if mode == "local" or (
+            mode == "auto" and total_postings <= self.LOCAL_SCORE_MAX_POSTINGS
+        ):
+            return self._score_local(blocks_q, qterms, idf, k)
 
         # pruning pays for its extra driver round-trips only when
         # there are enough blocks to skip; below the threshold the

@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # shuffle/spill scratch: on a real cluster this is node-local
+        # NVMe whose aggregate bandwidth scales with the node count;
+        # on a single sandbox box the one shared disk does not — tmpfs
+        # restores the per-node-scaling property (override with
+        # SPARK_GRAFT_LOCAL_DIR, e.g. for disk-constrained hosts)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )

@@ -17,7 +17,10 @@ def test_no_row_at_a_time_udf():
         # F.udf( / @udf( — the row-at-a-time API
         if re.search(r"(?<!pandas_)\budf\s*\(", src):
             bad.append(str(p))
-        if ".rdd" in src or "flatMap(" in src or "mapPartitions(" in src:
+        # .rdd.getNumPartitions() is plan metadata (no per-row path);
+        # any other .rdd usage is banned
+        rdd_uses = re.findall(r"\.rdd\b(?!\.getNumPartitions\(\))", src)
+        if rdd_uses or "flatMap(" in src or "mapPartitions(" in src:
             bad.append(str(p) + " (rdd api)")
         if re.search(r"\bfor\s+\w+\s+in\s+\w+\.collect\(\)", src):
             # driver-side loops over collect() of non-tiny data are

@@ -43,22 +43,48 @@ def test_boolean_vs_oracle(corpus):
     assert [r["doc_id"] for r in si.not_docs(["tok1"], ["tok2"]).collect()] == oi.not_(["tok1"], ["tok2"])
 
 
+@pytest.mark.parametrize("mode", ["local", "distributed"])
 @pytest.mark.parametrize("q", QUERIES)
-def test_bm25_rank_identity(corpus, q):
+def test_bm25_rank_identity(corpus, q, mode):
     si, oi, _ = corpus
     want = oi.bm25_topk(q, 10)
-    got = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=False).collect()]
-    assert [g[0] for g in got] == [w[0] for w in want], q
+    got = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=False, mode=mode).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], (q, mode)
     for g, w in zip(got, want):
-        assert abs(g[1] - w[1]) < 1e-9, (q, g, w)
+        assert abs(g[1] - w[1]) < 1e-9, (q, mode, g, w)
 
 
 @pytest.mark.parametrize("q", QUERIES)
 def test_wand_pruning_lossless(corpus, q):
     si, _, _ = corpus
-    exhaustive = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=False).collect()]
-    pruned = [(r["doc_id"], r["score"]) for r in si.bm25_topk(q, 10, prune=True).collect()]
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=False, mode="distributed").collect()
+    ]
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=True, mode="distributed").collect()
+    ]
     assert pruned == exhaustive, q
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_local_path_identical_to_distributed(corpus, q):
+    """The broadcast-blocks fast path must be bit-identical to the
+    distributed per-span path (same float64 op order by design)."""
+    si, _, _ = corpus
+    local = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, mode="local").collect()
+    ]
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, mode="distributed").collect()
+    ]
+    assert local == dist, q
 
 
 def test_get_docs_materialization(corpus):
