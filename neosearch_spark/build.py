@@ -9,12 +9,18 @@ Reference semantics carried over (SURVEY §1-2):
 - per-field indexes (``<field>_<type>.idx`` → a ``field`` column).
 
 Scale design (north_rule):
+- **Single shuffle**: the raw term-occurrence stream hash-partitions
+  by (field, term, span) and sorts within partitions; the block
+  encoder collapses sorted duplicate runs into tf.  No separate
+  groupBy shuffle, no tf intermediate, and no range-partitioner
+  sampling pass (which would re-run tokenize+explode over the whole
+  corpus just to pick boundaries).
 - **Fixed doc-span blocks**: block key = (field, term,
   span_id = doc_id // span).  A hot term's postings scatter across
-  spans, so the groupBy that assembles blocks has bounded group size
-  (≤ span) — this IS the explicit skew salting (the salt is the doc
-  range), and it keeps blocks aligned so query-time block-max pruning
-  can union upper bounds per span with one groupBy.
+  spans, so the group that assembles each block has bounded size
+  (≤ span postings) — this IS the explicit skew salting (the salt is
+  the doc range), and it keeps blocks aligned so query-time block-max
+  pruning can union upper bounds per span with one groupBy.
 - **Salted two-phase merge** for the logical whole-term posting
   arrays (used by boolean algebra tests and the oracle gate) —
   partial sorted arrays per (term, salt), final merge per term.
@@ -25,9 +31,9 @@ Scale design (north_rule):
 
 Storage is parquet directories (Iceberg jars unavailable in this
 sandbox; the write path is a single ``df.write`` so swapping in
-``writeTo(...).append()`` is mechanical).  Files inherit the range
-partitioner's (term, span) sort, so parquet min/max row-group stats
-give query-time term pushdown for free.
+``writeTo(...).append()`` is mechanical).  Each output file is
+term-sorted internally (sortWithinPartitions), so parquet min/max
+row-group stats give query-time term pushdown for free.
 """
 
 from __future__ import annotations
@@ -59,7 +65,7 @@ B = 0.75
 DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "
@@ -222,6 +228,46 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
         }
     )
     return out
+
+
+def carry_encoder(avgdl: float, span: int):
+    """mapInPandas generator encoding sorted (field, term, span_id,
+    doc_id[, tf], dl) rows into blocks.
+
+    Arrow hands a partition over in row batches; a (term, span) group
+    can straddle a batch boundary, which would fragment its block.
+    Hold back each batch's last group and prepend it to the next
+    batch (bounded memory: ≤ span rows carried)."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf.iloc[-1]
+            tail_mask = (
+                (pdf["field"] == last["field"])
+                & (pdf["term"] == last["term"])
+                & (pdf["span_id"] == last["span_id"])
+            )
+            # boundary of the trailing group (contiguous by sort)
+            tail_start = len(pdf) - int(tail_mask.iloc[::-1].cummin().sum())
+            if tail_start == 0:
+                carry = pdf  # whole batch is one group; keep carrying
+                continue
+            carry = pdf.iloc[tail_start:].reset_index(drop=True)
+            yield _encode_blocks_batch(
+                pdf.iloc[:tail_start].reset_index(drop=True),
+                avgdl=avgdl,
+                span=span,
+            )
+        if carry is not None and len(carry):
+            yield _encode_blocks_batch(carry, avgdl=avgdl, span=span)
+
+    return encode
 
 
 class IndexBuilder:
@@ -398,54 +444,58 @@ class IndexBuilder:
                 .withColumn("part_id", F.spark_partition_id())
             )
 
-            def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                # Arrow hands the partition over in ~10k-row batches; a
-                # (term, span) group can straddle a batch boundary, which
-                # would fragment its block.  Hold back each batch's last
-                # group and prepend it to the next batch (bounded memory:
-                # ≤ span rows carried).
-                carry: pd.DataFrame | None = None
-                for pdf in it:
-                    if carry is not None:
-                        pdf = pd.concat([carry, pdf], ignore_index=True)
-                        carry = None
-                    if len(pdf) == 0:
-                        continue
-                    last = pdf.iloc[-1]
-                    tail_mask = (
-                        (pdf["field"] == last["field"])
-                        & (pdf["term"] == last["term"])
-                        & (pdf["span_id"] == last["span_id"])
-                    )
-                    # boundary of the trailing group (contiguous by sort)
-                    tail_start = len(pdf) - int(tail_mask.iloc[::-1].cummin().sum())
-                    if tail_start == 0:
-                        carry = pdf  # whole batch is one group; keep carrying
-                        continue
-                    carry = pdf.iloc[tail_start:].reset_index(drop=True)
-                    yield _encode_blocks_batch(
-                        pdf.iloc[:tail_start].reset_index(drop=True),
-                        avgdl=avgdl,
-                        span=span,
-                    )
-                if carry is not None and len(carry):
-                    yield _encode_blocks_batch(carry, avgdl=avgdl, span=span)
-
-            blocks = arranged.mapInPandas(encode, schema=BLOCK_SCHEMA)
-            blocks.write.mode("overwrite").parquet(self.path("blocks"))
+            blocks = arranged.mapInPandas(
+                carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
+            )
+            # two-step write: stage the hash-layout encode output,
+            # then range-repartition the (compressed, ~50x smaller
+            # than the occurrence stream) blocks by term so the final
+            # files cover DISJOINT term ranges — a query's term
+            # predicate then prunes to 1-2 files via footer min/max
+            # instead of scanning every file.  Sampling for the range
+            # boundaries runs over the staged parquet, not the
+            # expensive encode lineage.  Small row groups sharpen
+            # intra-file pruning.
+            staging = self.path("blocks") + "_stage0"
+            blocks.write.mode("overwrite").parquet(staging)
+            (
+                spark.read.parquet(staging)
+                .repartitionByRange(nparts, "field", "term", "span_id")
+                .sortWithinPartitions("field", "term", "span_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .parquet(self.path("blocks"))
+            )
+            shutil.rmtree(staging)
             self._mark_stage(m, "blocks", fp)
         if stop("blocks"):
             return
         blocks_t = spark.read.parquet(self.path("blocks"))
 
-        # stage: terms (per-term df/cf + global max block score bound)
+        # stage: terms (per-term df/cf + global max block score bound).
+        # The term dictionary is range-partitioned and sorted by
+        # (field, term) — files cover disjoint term ranges and row
+        # groups are small, so a per-query term lookup prunes to ~one
+        # row group via parquet min/max stats (the LSM "sorted term
+        # dictionary" property, engine_test.go:71-174 analog).
         if not self._stage_done(m, "terms", fp):
-            terms = blocks_t.groupBy("field", "term").agg(
-                F.sum("n_docs").cast("long").alias("df"),
-                F.max("max_tf_norm").alias("max_tf_norm"),
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            terms = (
+                blocks_t.groupBy("field", "term")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("df"),
+                    F.max("max_tf_norm").alias("max_tf_norm"),
+                    F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                )
+                .repartitionByRange(
+                    max(4, spark.sparkContext.defaultParallelism),
+                    "field",
+                    "term",
+                )
+                .sortWithinPartitions("field", "term")
             )
-            terms.write.mode("overwrite").parquet(self.path("terms"))
+            terms.write.mode("overwrite").option(
+                "parquet.block.size", 1024 * 1024
+            ).parquet(self.path("terms"))
             self._mark_stage(m, "terms", fp)
         if stop("terms"):
             return

@@ -47,7 +47,14 @@ class SparkIndex:
     reference's ``NeoSearch.OpenIndex``, ``neosearch.go:170-206`` —
     minus the LRU: Spark's block manager owns caching)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = False):
+        """cache=True pins the blocks/terms DataFrames in executor
+        memory (MEMORY_AND_DISK, LRU-evicted) — the Spark-native form
+        of the reference's open-handle LRU (``neosearch.go:117-123``)
+        and the north star's "broadcast posting blocks": a serving
+        deployment keeps the hot index resident.  At 10^12-turn scale
+        the block manager caches whatever fits and spills the rest —
+        correctness is unaffected."""
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -57,14 +64,23 @@ class SparkIndex:
         stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        self._cache = cache
+        self._blocks_df: DataFrame | None = None
+        self._terms_df: DataFrame | None = None
 
     @property
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+        if self._blocks_df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            self._blocks_df = df.cache() if self._cache else df
+        return self._blocks_df
 
     @property
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        if self._terms_df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+            self._terms_df = df.cache() if self._cache else df
+        return self._terms_df
 
     @property
     def docs(self) -> DataFrame:
@@ -239,12 +255,14 @@ class SparkIndex:
         )
 
     # below this many total postings across the query's terms, the
-    # compressed blocks are a few MB — fetch them with one pushed-down
-    # scan and score locally (the "broadcast posting blocks" fast
-    # path; one-two Spark jobs instead of four).  Above it, the
-    # distributed per-span path takes over (a hot term at 10^12 turns
-    # can never be collected).
-    LOCAL_SCORE_MAX_POSTINGS = 5_000_000
+    # compressed blocks are ≤ ~10 MB — fetch them with one pushed-down
+    # scan (term-range file layout prunes to a few files) and score
+    # locally: the "broadcast posting blocks" fast path, two Spark
+    # jobs total.  Above it, the distributed per-span path takes over
+    # (a hot term at 10^12 turns can never be collected).  Measured on
+    # a 3M-turn corpus: local beats the distributed path up to at
+    # least ~3M postings/query.
+    LOCAL_SCORE_MAX_POSTINGS = 4_000_000
 
     def _score_local(
         self, blocks_q: DataFrame, qterms: list[str], idf: dict, k: int
@@ -316,53 +334,60 @@ class SparkIndex:
         if prune and total_blocks <= 64:
             prune = False
 
+        def merge_topk(rows) -> DataFrame:
+            # per-span candidates are ≤ k rows each — final top-k is a
+            # driver-side sort of a few hundred rows, not a Spark job
+            rows = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+            return self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                "doc_id long, score double",
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+
         if prune:
-            # occurrence-weighted upper bound per span
-            wts = self.spark.createDataFrame(
-                [(t, idf[t] * c) for t, c in
-                 {u: qterms.count(u) for u in uniq}.items()],
-                "term string, w double",
-            )
-            # inflate stale bounds when the corpus avgdl moved since a
-            # block was encoded (post-compaction safety — see build.py)
-            bound = F.col("max_tf_norm") * F.greatest(
-                F.lit(1.0), F.lit(self.avgdl) / F.col("enc_avgdl")
-            )
-            ub = (
-                blocks_q.join(F.broadcast(wts), "term")
-                .groupBy("span_id")
-                .agg(F.sum(F.col("w") * bound).alias("ub"))
-            )
+            # metadata pass: ONE column-pruned scan (no posting
+            # payloads) — the per-span upper bounds are computed
+            # driver-side from the handful of query-term block rows
+            meta = blocks_q.select(
+                "term", "span_id", "max_tf_norm", "enc_avgdl"
+            ).collect()
+            wts = {u: idf[u] * qterms.count(u) for u in uniq}
+            ub: dict[int, float] = {}
+            for r in meta:
+                # inflate stale bounds when the corpus avgdl moved
+                # since a block was encoded (post-compaction safety —
+                # see build.py)
+                infl = max(1.0, self.avgdl / r["enc_avgdl"])
+                ub[r["span_id"]] = ub.get(r["span_id"], 0.0) + (
+                    wts[r["term"]] * r["max_tf_norm"] * infl
+                )
             n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
             boot_spans = [
-                r["span_id"]
-                for r in ub.orderBy(F.desc("ub")).limit(n_boot).collect()
+                s for s, _ in sorted(ub.items(), key=lambda kv: -kv[1])[:n_boot]
             ]
-            boot_scores = (
-                self._score_spans(
-                    blocks_q.where(F.col("span_id").isin(boot_spans)), qterms, idf, k
-                )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
-            boot_rows = boot_scores.collect()
+            boot_rows = self._score_spans(
+                blocks_q.where(F.col("span_id").isin(boot_spans)), qterms, idf, k
+            ).collect()
+            boot_rows = sorted(
+                boot_rows, key=lambda r: (-r["score"], r["doc_id"])
+            )[:k]
             if len(boot_rows) >= k:
                 theta = boot_rows[-1]["score"]
-                survivors = ub.where(
-                    (F.col("ub") >= theta) & ~F.col("span_id").isin(boot_spans)
-                ).select("span_id")
-                rest = self._score_spans(
-                    blocks_q.join(F.broadcast(survivors), "span_id"),
-                    qterms,
-                    idf,
-                    k,
+                survivors = [
+                    s
+                    for s, b in ub.items()
+                    if b >= theta and s not in set(boot_spans)
+                ]
+                rest_rows = (
+                    self._score_spans(
+                        blocks_q.where(F.col("span_id").isin(survivors)),
+                        qterms,
+                        idf,
+                        k,
+                    ).collect()
+                    if survivors
+                    else []
                 )
-                scored = rest.unionByName(
-                    self.spark.createDataFrame(boot_rows, "doc_id long, score double")
-                )
-            else:
-                scored = self._score_spans(blocks_q, qterms, idf, k)
-        else:
-            scored = self._score_spans(blocks_q, qterms, idf, k)
+                return merge_topk(list(boot_rows) + list(rest_rows))
+            return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
 
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())

@@ -90,7 +90,6 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
     import numpy as np
     import pandas as pd
 
-    from .build import _encode_blocks_batch
     from .codec import decode_postings, decode_tfs
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -172,13 +171,11 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
         .withColumn("part_id", F.spark_partition_id())
     )
 
-    def encode(it):
-        for pdf in it:
-            yield _encode_blocks_batch(pdf, avgdl=avgdl, span=span)
+    from .build import BLOCK_SCHEMA, carry_encoder
 
-    from .build import BLOCK_SCHEMA
-
-    rebuilt = arranged.mapInPandas(encode, schema=BLOCK_SCHEMA)
+    rebuilt = arranged.mapInPandas(
+        carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
+    )
     untouched = base.join(touched, ["field", "term", "span_id"], "left_anti")
     new_blocks = untouched.unionByName(rebuilt)
 
@@ -188,12 +185,20 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
     new_blocks.write.mode("overwrite").parquet(blocks_tmp)
 
     terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
-    terms = spark.read.parquet(blocks_tmp).groupBy("field", "term").agg(
-        F.sum("n_docs").cast("long").alias("df"),
-        F.max("max_tf_norm").alias("max_tf_norm"),
-        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    terms = (
+        spark.read.parquet(blocks_tmp)
+        .groupBy("field", "term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.max("max_tf_norm").alias("max_tf_norm"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+        .repartitionByRange(nparts, "field", "term")
+        .sortWithinPartitions("field", "term")
     )
-    terms.write.mode("overwrite").parquet(terms_tmp)
+    terms.write.mode("overwrite").option(
+        "parquet.block.size", 1024 * 1024
+    ).parquet(terms_tmp)
 
     n_touched = touched.count()
 
