@@ -176,6 +176,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), threshold=0.25, max_id=150
     )
 
+    def ann_ivf_topk(s, d):
+        import numpy as np
+
+        emb = _emb(s, d)
+        row = emb.where(F.col("vec_id") == 0).collect()[0]
+        qv = np.array(row["embedding"], dtype=np.float64)
+        cents = ann.ivf_train_centroids(
+            emb, n_centroids=4, n_iters=2, dim=len(qv)
+        )
+        return ann.ivf_topk(
+            emb.where(F.col("vec_id") != 0), qv, cents, k=10, nprobe=2
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     # --- relational coverage (joins / agg / window / sessionize) ---
     def rel_q1(s, d):
         li = _t(s, d, "lineitem")

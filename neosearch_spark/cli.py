@@ -41,11 +41,14 @@ def cmd_build(args) -> int:
     docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns:
         docs = assign_doc_ids(docs)
+    kwargs = {}
+    if args.span is not None:
+        kwargs["span"] = args.span
     IndexBuilder(
         args.index,
         analyzed_fields=args.fields.split(","),
         exact_fields=args.exact_fields.split(",") if args.exact_fields else [],
-        span=args.span,
+        **kwargs,
     ).build(docs, resume=args.resume)
     print(json.dumps({"status": "ok", "index": args.index}))
     return 0
@@ -125,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--fields", default="text")
     b.add_argument("--exact-fields", default="role,tool")
-    b.add_argument("--span", type=int, default=8192)
+    b.add_argument("--span", type=int, default=None,
+                   help="postings per block group (default: build.DEFAULT_SPAN)")
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 

@@ -183,6 +183,90 @@ def lsh_bucketed_pairs(
     )
 
 
+def _nearest_centroid(vec_col: F.Column, centroids: np.ndarray) -> F.Column:
+    """cid of the nearest centroid by dot product, as one codegen'd
+    expression: F.greatest over (dot, cid) structs — no join, single
+    pass.  Ties break to the larger cid (struct comparison order) —
+    deterministic."""
+    structs = [
+        F.struct(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in centroids[c]])).alias("d"),
+            F.lit(c).alias("cid"),
+        )
+        for c in range(len(centroids))
+    ]
+    return F.greatest(*structs)["cid"]
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: deterministic seeded init + a few Lloyd
+    iterations.  Assignment is a distributed single-pass expression;
+    the centroid update collects n_centroids × dim doubles (tiny).
+    At 10^12 rows you'd train on a sample — pass ``vectors.sample``."""
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_centroids, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    for _ in range(n_iters):
+        assigned = vectors.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+        sums = (
+            assigned.groupBy("cid")
+            .agg(
+                F.array(*[
+                    F.sum(F.element_at("v", i + 1).cast("double")) for i in range(dim)
+                ]).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in sums:
+            c = np.array(r["vsum"], dtype=np.float64) / float(r["n"])
+            n = np.linalg.norm(c)
+            if n > 0:
+                centroids[r["cid"]] = c / n
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` inverted lists
+    whose centroids are closest to the query (driver-side numpy),
+    exact cosine only within those lists.  Recall < 1 by design; the
+    per-list filter is a single codegen'd expression, so the scan
+    prunes to ~nprobe/n_centroids of the data before any vector math."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+    in_probe = vectors.where(
+        _nearest_centroid(F.col(vec_col), centroids).isin(probe)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * _norm(qlit))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        in_probe.select(id_col, cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_numpy(
     vectors: DataFrame,
     query_vec: np.ndarray,

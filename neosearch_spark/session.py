@@ -57,6 +57,10 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commit: task outputs move to the final location at task
+        # commit (distributed) instead of serial driver-side renames
+        # at job commit — matters when stages write hundreds of files
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if extra_conf:
         for k, v in extra_conf.items():

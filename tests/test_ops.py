@@ -92,6 +92,46 @@ def test_lsh_bucketed_pairs_subset_of_exact(spark, vectors):
     assert (0, 1) in exact
 
 
+def test_ivf_full_probe_equals_exact(spark, vectors):
+    """Probing every inverted list must reproduce the exact top-k —
+    IVF's approximation comes ONLY from probing fewer lists."""
+    cents = ann.ivf_train_centroids(vectors, n_centroids=4, n_iters=2, dim=8)
+    qv = np.array(
+        vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64
+    )
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in ann.cosine_topk(vectors, query_vec_id=0, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ann.ivf_topk(
+            vectors.where(F.col("vec_id") != 0), qv, cents, k=5, nprobe=4
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_probe_subset_and_deterministic(spark, vectors):
+    cents1 = ann.ivf_train_centroids(vectors, n_centroids=4, n_iters=2, dim=8)
+    cents2 = ann.ivf_train_centroids(vectors, n_centroids=4, n_iters=2, dim=8)
+    assert np.allclose(cents1, cents2)  # seeded → identical
+    qv = np.array(
+        vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64
+    )
+    exact_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in ann.cosine_topk(vectors, query_vec_id=0, k=19).collect()
+    }
+    probe1 = ann.ivf_topk(
+        vectors.where(F.col("vec_id") != 0), qv, cents1, k=5, nprobe=1
+    ).collect()
+    # every returned cosine is the true cosine for that id (IVF only
+    # restricts the candidate set, never alters scores)
+    for r in probe1:
+        assert abs(exact_scores[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
 def test_quality_stats(spark, dup_docs):
     out = {r["doc_id"]: r for r in textstats.quality_stats(dup_docs).collect()}
     assert out[0]["n_tokens"] == 4
