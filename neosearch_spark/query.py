@@ -264,6 +264,21 @@ class SparkIndex:
     # least ~3M postings/query.
     LOCAL_SCORE_MAX_POSTINGS = 4_000_000
 
+    def _topk_df(self, rows: list[tuple[int, float]]) -> DataFrame:
+        """Pre-sorted driver-side top-k rows → 1-partition DataFrame.
+
+        ``orderBy`` on a tiny DataFrame costs a range-partitioner
+        sampling job (+0.8s/query measured), and ``coalesce(1)`` over
+        the default 32 local slices fetches each slice separately
+        (+5s!).  ``repartition(1)`` + ``sortWithinPartitions`` gives
+        an explicit single-partition sort — identical global order,
+        one cheap job (~0.4s)."""
+        return (
+            self.spark.createDataFrame(rows, "doc_id long, score double")
+            .repartition(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+        )
+
     def _score_local(
         self, blocks_q: DataFrame, qterms: list[str], idf: dict, k: int
     ) -> DataFrame:
@@ -298,9 +313,7 @@ class SparkIndex:
             acc[np.searchsorted(all_ids, ids)] += idf[t] * tf_norm
         order = np.lexsort((all_ids, -acc))[:k]
         out = [(int(all_ids[i]), float(acc[i])) for i in order]
-        return self.spark.createDataFrame(
-            out, "doc_id long, score double"
-        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        return self._topk_df(out)
 
     def bm25_topk(
         self, query: str, k: int = 10, field: str = "text", prune: bool = True,
@@ -338,10 +351,9 @@ class SparkIndex:
             # per-span candidates are ≤ k rows each — final top-k is a
             # driver-side sort of a few hundred rows, not a Spark job
             rows = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))[:k]
-            return self.spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in rows],
-                "doc_id long, score double",
-            ).orderBy(F.desc("score"), F.asc("doc_id"))
+            return self._topk_df(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            )
 
         if prune:
             # metadata pass: ONE column-pruned scan (no posting
