@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
-from .analyzer import doc_len_col, terms_col
+from .analyzer import doc_len_col, norm_col, terms_col, tokens_col
 
 K1 = 1.2
 B = 0.75
@@ -75,7 +75,10 @@ BLOCK_SCHEMA = (
 
 
 def _occurrence_stream(
-    docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]
+    docs: DataFrame,
+    analyzed_fields: list[str],
+    exact_fields: list[str],
+    include_whole: bool = True,
 ) -> DataFrame:
     """(field, term, doc_id, dl) — one row per term OCCURRENCE.
 
@@ -86,14 +89,21 @@ def _occurrence_stream(
     doc, so carrying it costs nothing and saves a large shuffle join
     later.  tf is NOT aggregated here: the block encoder collapses
     sorted duplicate runs, which turns the build into a single
-    shuffle (see IndexBuilder.build)."""
+    shuffle (see IndexBuilder.build).
+
+    include_whole=False drops the whole-string extra term
+    (``index.go:546-553``) from analyzed fields — the build routes
+    those through a shuffle-free side path (``_whole_string_stream``)
+    because they are long (~100 B vs ~8 B tokens — half the shuffle
+    bytes) and almost always df=1."""
     with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
     parts = []
     for f in analyzed_fields:
+        src = terms_col(F.col(f)) if include_whole else tokens_col(F.col(f))
         parts.append(
             with_dl.select(
                 F.lit(f).alias("field"),
-                F.explode(terms_col(F.col(f))).alias("term"),
+                F.explode(src).alias("term"),
                 F.col("doc_id"),
                 F.col("dl"),
             )
@@ -103,6 +113,26 @@ def _occurrence_stream(
             with_dl.where(F.col(f).isNotNull() & (F.col(f) != "")).select(
                 F.lit(f).alias("field"),
                 F.col(f).alias("term"),
+                F.col("doc_id"),
+                F.col("dl"),
+            )
+        )
+    allt = parts[0]
+    for p in parts[1:]:
+        allt = allt.unionByName(p)
+    return allt
+
+
+def _whole_string_stream(docs: DataFrame, analyzed_fields: list[str]) -> DataFrame:
+    """(field, term, doc_id, dl) rows for the whole-string extra term
+    of multi-token values (reference ``index.go:546-553``)."""
+    with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
+    parts = []
+    for f in analyzed_fields:
+        parts.append(
+            with_dl.where(F.size(tokens_col(F.col(f))) > 1).select(
+                F.lit(f).alias("field"),
+                norm_col(F.col(f)).alias("term"),
                 F.col("doc_id"),
                 F.col("dl"),
             )
@@ -228,6 +258,57 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
         }
     )
     return out
+
+
+def singleton_encoder(avgdl: float, span: int):
+    """mapInPandas generator: one block PER ROW (n_docs=1, tf=1).
+
+    Used for whole-string terms: a doc indexes its whole string
+    exactly once, and emitting singletons keeps the index content a
+    pure function of the data — independent of partitioning (merged
+    blocks would depend on which partition duplicate texts landed
+    in, breaking cross-parallelism determinism)."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dl = pdf["dl"].to_numpy(dtype=np.int64)
+            docs_buf, docs_len = codec.varint_encode_with_lengths(
+                doc.astype(np.uint64)
+            )
+            dls_buf, dls_len = codec.varint_encode_with_lengths(
+                dl.astype(np.uint64)
+            )
+            raw_docs = docs_buf.tobytes()
+            raw_dls = dls_buf.tobytes()
+            doff = np.concatenate(([0], np.cumsum(docs_len)))
+            loff = np.concatenate(([0], np.cumsum(dls_len)))
+            tf_norm = (K1 + 1.0) / (1.0 + K1 * (1.0 - B + B * dl / avgdl))
+            part = int(pdf["part_id"].iloc[0]) if "part_id" in pdf else -1
+            yield pd.DataFrame(
+                {
+                    "field": pdf["field"].to_numpy(),
+                    "term": pdf["term"].to_numpy(),
+                    "span_id": doc // span,
+                    "first_doc": doc,
+                    "n_docs": np.ones(len(pdf), dtype=np.int32),
+                    "docs_enc": [
+                        raw_docs[doff[i] : doff[i + 1]] for i in range(len(pdf))
+                    ],
+                    "tfs_enc": [b"\x01"] * len(pdf),
+                    "dls_enc": [
+                        raw_dls[loff[i] : loff[i + 1]] for i in range(len(pdf))
+                    ],
+                    "max_tf": np.ones(len(pdf), dtype=np.float64),
+                    "max_tf_norm": tf_norm,
+                    "enc_avgdl": np.full(len(pdf), avgdl, dtype=np.float64),
+                    "part_id": np.full(len(pdf), part, dtype=np.int32),
+                }
+            )
+
+    return encode
 
 
 def carry_encoder(avgdl: float, span: int):
@@ -423,7 +504,8 @@ class IndexBuilder:
             if docs_in.rdd.getNumPartitions() < nparts:
                 docs_in = docs_in.repartition(nparts)
             occ = _occurrence_stream(
-                docs_in, self.analyzed_fields, self.exact_fields
+                docs_in, self.analyzed_fields, self.exact_fields,
+                include_whole=False,
             )
             enriched = occ.withColumn(
                 "span_id", (F.col("doc_id") / span).cast("long")
@@ -458,8 +540,27 @@ class IndexBuilder:
             # intra-file pruning.
             staging = self.path("blocks") + "_stage0"
             blocks.write.mode("overwrite").parquet(staging)
+
+            # whole-string extra terms (index.go:546-553) bypass the
+            # occurrence shuffle entirely: they are ~100 B each (half
+            # the shuffle bytes) and a doc indexes its whole string
+            # exactly once, so each row encodes directly into its own
+            # singleton block — no shuffle, no sort, and the index
+            # content stays a pure function of the data at any
+            # parallelism.  Every reader (decode, WAND bounds,
+            # terms-df aggregation) is additive over blocks, so
+            # per-doc blocks are semantically identical to merged
+            # ones.
+            ws = (
+                _whole_string_stream(docs_in, self.analyzed_fields)
+                .withColumn("part_id", F.spark_partition_id())
+                .mapInPandas(
+                    singleton_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
+                )
+            )
             (
                 spark.read.parquet(staging)
+                .unionByName(ws)
                 .repartitionByRange(nparts, "field", "term", "span_id")
                 .sortWithinPartitions("field", "term", "span_id")
                 .write.mode("overwrite")

@@ -93,37 +93,46 @@ class SparkIndex:
     # ---------------- posting decode ----------------
 
     def _decode(self, blocks: DataFrame, with_payload: bool = False) -> DataFrame:
-        """blocks → exploded (field, term, doc_id[, tf, dl]) rows."""
+        """blocks → exploded (field, term, doc_id[, tf, dl]) rows.
+
+        Fully vectorized: all block buffers in an Arrow batch are
+        concatenated and varint-decoded ONCE (buffers are
+        self-delimiting — every value ends on a clear continuation
+        bit), then the per-block delta chains are rebased with one
+        cumsum + repeat.  No per-block Python loop."""
+        from .codec import _varint_decode
+
         schema = "field string, term string, doc_id long"
         if with_payload:
             schema += ", tf int, dl int"
 
         def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                outs = []
-                for row in pdf.itertuples(index=False):
-                    ids = decode_postings(row.docs_enc)
-                    d = {
-                        "field": np.repeat(row.field, len(ids)),
-                        "term": np.repeat(row.term, len(ids)),
-                        "doc_id": ids,
-                    }
-                    if with_payload:
-                        d["tf"] = decode_tfs(row.tfs_enc).astype(np.int32)
-                        d["dl"] = decode_tfs(row.dls_enc).astype(np.int32)
-                    outs.append(pd.DataFrame(d))
-                yield (
-                    pd.concat(outs, ignore_index=True)
-                    if outs
-                    else pd.DataFrame(
-                        {
-                            c.split(" ")[0]: pd.Series(dtype="object")
-                            for c in schema.split(", ")
-                        }
-                    )
-                )
+                if len(pdf) == 0:
+                    continue
+                n_docs = pdf["n_docs"].to_numpy(dtype=np.int64)
+                deltas = _varint_decode(b"".join(pdf["docs_enc"].tolist()))
+                cum = np.cumsum(deltas.astype(np.int64))
+                starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+                # rebase each block's running sum to start at its own
+                # absolute first docID (delta chains reset per block)
+                base = np.repeat(cum[starts] - deltas[starts].astype(np.int64), n_docs)
+                d = {
+                    "field": np.repeat(pdf["field"].to_numpy(), n_docs),
+                    "term": np.repeat(pdf["term"].to_numpy(), n_docs),
+                    "doc_id": cum - base,
+                }
+                if with_payload:
+                    d["tf"] = _varint_decode(
+                        b"".join(pdf["tfs_enc"].tolist())
+                    ).astype(np.int32)
+                    d["dl"] = _varint_decode(
+                        b"".join(pdf["dls_enc"].tolist())
+                    ).astype(np.int32)
+                yield pd.DataFrame(d)
+            # (empty partitions yield nothing — Spark fills the schema)
 
-        cols = ["field", "term", "span_id", "docs_enc"]
+        cols = ["field", "term", "span_id", "n_docs", "docs_enc"]
         if with_payload:
             cols += ["tfs_enc", "dls_enc"]
         return blocks.select(*cols).mapInPandas(dec, schema=schema)
