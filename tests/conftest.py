@@ -50,3 +50,9 @@ def tiny_oracle():
             8: "Florianópolis is florianópolis",
         }
     )
+
+
+@pytest.fixture(scope="session")
+def repo_root():
+    import pathlib
+    return pathlib.Path(__file__).resolve().parent.parent
