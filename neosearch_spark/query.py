@@ -273,6 +273,11 @@ class SparkIndex:
     # least ~3M postings/query.
     LOCAL_SCORE_MAX_POSTINGS = 4_000_000
 
+    # cap on collected block-metadata rows per query (each row covers
+    # ≤ span postings, so the cap admits ~260 G postings at the
+    # default span before falling back to terms-table stats)
+    META_COLLECT_CAP = 2_000_000
+
     def _topk_df(self, rows: list[tuple[int, float]]) -> DataFrame:
         """Pre-sorted driver-side top-k rows → 1-partition DataFrame.
 
@@ -339,11 +344,39 @@ class SparkIndex:
         qterms = analyze_query(query)
         if not qterms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf, total_blocks, total_postings = self.idfs(qterms, field)
         uniq = list(dict.fromkeys(qterms))
         blocks_q = self.blocks.where(
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
+
+        # ONE column-pruned metadata scan yields everything the
+        # planner needs — per-term df (Σ n_docs over the term's
+        # blocks == global df, since the predicate fetches ALL its
+        # blocks), hence idf, the local/distributed decision, AND the
+        # per-span WAND bounds — without touching the terms table.
+        # A cap guards the astronomically-hot case (≥ ~260 G postings
+        # across the query's terms): fall back to terms-table stats.
+        meta = (
+            blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl", "n_docs")
+            .limit(self.META_COLLECT_CAP + 1)
+            .collect()
+        )
+        if len(meta) > self.META_COLLECT_CAP:
+            meta = None
+            idf, total_blocks, total_postings = self.idfs(qterms, field)
+        else:
+            dfmap: dict[str, int] = {}
+            for r in meta:
+                dfmap[r["term"]] = dfmap.get(r["term"], 0) + r["n_docs"]
+            n = self.n_docs
+            idf = {
+                t: math.log(
+                    1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5)
+                )
+                for t in qterms
+            }
+            total_blocks = len(meta)
+            total_postings = sum(dfmap.values())
 
         if mode == "local" or (
             mode == "auto" and total_postings <= self.LOCAL_SCORE_MAX_POSTINGS
@@ -365,12 +398,10 @@ class SparkIndex:
             )
 
         if prune:
-            # metadata pass: ONE column-pruned scan (no posting
-            # payloads) — the per-span upper bounds are computed
-            # driver-side from the handful of query-term block rows
-            meta = blocks_q.select(
-                "term", "span_id", "max_tf_norm", "enc_avgdl"
-            ).collect()
+            if meta is None:  # hot-query fallback took the terms path
+                meta = blocks_q.select(
+                    "term", "span_id", "max_tf_norm", "enc_avgdl"
+                ).collect()
             wts = {u: idf[u] * qterms.count(u) for u in uniq}
             ub: dict[int, float] = {}
             for r in meta:

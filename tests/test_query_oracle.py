@@ -87,6 +87,20 @@ def test_local_path_identical_to_distributed(corpus, q):
     assert local == dist, q
 
 
+def test_meta_cap_fallback_identical(corpus, monkeypatch):
+    """Astronomically-hot queries exceed META_COLLECT_CAP and fall
+    back to terms-table stats — results must be identical."""
+    si, oi, _ = corpus
+    normal = [
+        (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
+    ]
+    monkeypatch.setattr(type(si), "META_COLLECT_CAP", 1)
+    fallback = [
+        (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
+    ]
+    assert fallback == normal
+
+
 def test_get_docs_materialization(corpus):
     si, oi, _ = corpus
     top = si.bm25_topk("tok1 tok3", 5)
