@@ -60,7 +60,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     t_start = time.time()
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # tmpfs scratch for benchmarks only (see session.py docstring):
+    # the sandbox's one shared virtio disk would measure the disk,
+    # not the engine; a real cluster's node-local NVMe scales out
+    spark = get_spark(
+        "bench", cores=CPUS, shuffle_partitions=CPUS,
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+    )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
     qs = entrymod.queries()

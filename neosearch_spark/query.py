@@ -266,17 +266,54 @@ class SparkIndex:
     # below this many total postings across the query's terms, the
     # compressed blocks are ≤ ~10 MB — fetch them with one pushed-down
     # scan (term-range file layout prunes to a few files) and score
-    # locally: the "broadcast posting blocks" fast path, two Spark
-    # jobs total.  Above it, the distributed per-span path takes over
-    # (a hot term at 10^12 turns can never be collected).  Measured on
-    # a 3M-turn corpus: local beats the distributed path up to at
-    # least ~3M postings/query.
+    # locally: the "broadcast posting blocks" fast path.  Above it,
+    # the distributed per-span path takes over (a hot term at 10^12
+    # turns can never be collected).  Measured on a 3M-turn corpus:
+    # local beats the distributed path up to at least ~3M
+    # postings/query.
     LOCAL_SCORE_MAX_POSTINGS = 4_000_000
 
     # cap on collected block-metadata rows per query (each row covers
     # ≤ span postings, so the cap admits ~260 G postings at the
     # default span before falling back to terms-table stats)
     META_COLLECT_CAP = 2_000_000
+
+    # warm-path fast collect: if the query's terms span ≤ this many
+    # blocks, ONE pushed-down scan fetches metadata AND payload
+    # together and the query completes in a single Spark job.
+    # Worst-case driver pull = 64 blocks × ~1 MB (span 131072 at
+    # ~2.5 B/posting × 3 streams) = 64 MB; typical is ≤ 1 MB.
+    FAST_COLLECT_MAX_BLOCKS = 64
+
+    # above this many span IDs, a literal IN-list would bloat the
+    # Catalyst plan (no pushdown past a few K values, codegen blow-up
+    # at 10^5+) — switch to a broadcast-joined span DataFrame
+    ISIN_MAX_SPANS = 1024
+
+    _PAYLOAD_COLS = [
+        "term", "span_id", "first_doc", "n_docs", "max_tf_norm",
+        "enc_avgdl", "docs_enc", "tfs_enc", "dls_enc",
+    ]
+
+    def _span_filter(self, blocks: DataFrame, span_ids) -> DataFrame:
+        """Restrict blocks to the given span IDs without unbounded
+        plan literals: small sets inline as an IN-list (pushes down
+        to parquet row-group stats), large sets broadcast-join a
+        one-column DataFrame (plan size O(1), hash lookup per row)."""
+        ids = sorted(int(s) for s in span_ids)
+        if len(ids) <= self.ISIN_MAX_SPANS:
+            return blocks.where(F.col("span_id").isin(ids))
+        sdf = self.spark.createDataFrame(
+            [(s,) for s in ids], "span_id long"
+        )
+        return blocks.join(F.broadcast(sdf), "span_id")
+
+    def _idf(self, dfmap: dict[str, int], qterms: list[str]) -> dict[str, float]:
+        n = self.n_docs
+        return {
+            t: math.log(1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5))
+            for t in qterms
+        }
 
     def _topk_df(self, rows: list[tuple[int, float]]) -> DataFrame:
         """Pre-sorted driver-side top-k rows → 1-partition DataFrame.
@@ -294,16 +331,13 @@ class SparkIndex:
         )
 
     def _score_local(
-        self, blocks_q: DataFrame, qterms: list[str], idf: dict, k: int
+        self, rows: list, qterms: list[str], idf: dict, k: int
     ) -> DataFrame:
-        """Driver-local scoring of the (small) query-term block set.
+        """Driver-local scoring of the (small) collected block rows.
 
         Float op order is identical to ``_score_spans`` and the pytest
         oracle: per query term IN QUERY ORDER, ``acc += idf·tf_norm``
         (float64), tie-break (score desc, doc_id asc)."""
-        rows = blocks_q.select(
-            "term", "span_id", "first_doc", "docs_enc", "tfs_enc", "dls_enc"
-        ).collect()
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
@@ -349,13 +383,35 @@ class SparkIndex:
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
 
-        # ONE column-pruned metadata scan yields everything the
-        # planner needs — per-term df (Σ n_docs over the term's
-        # blocks == global df, since the predicate fetches ALL its
-        # blocks), hence idf, the local/distributed decision, AND the
-        # per-span WAND bounds — without touching the terms table.
-        # A cap guards the astronomically-hot case (≥ ~260 G postings
-        # across the query's terms): fall back to terms-table stats.
+        def dfmap_from(rows) -> dict[str, int]:
+            # Σ n_docs over a term's blocks == its global df (the
+            # predicate fetched ALL of the term's blocks)
+            m: dict[str, int] = {}
+            for r in rows:
+                m[r["term"]] = m.get(r["term"], 0) + r["n_docs"]
+            return m
+
+        # --- warm fast path: ONE pushed-down scan collects metadata
+        # AND payload together; typical queries (a few blocks after
+        # term-range file pruning) complete in a single Spark job.
+        if mode in ("auto", "local"):
+            fast = (
+                blocks_q.select(*self._PAYLOAD_COLS)
+                .limit(self.FAST_COLLECT_MAX_BLOCKS + 1)
+                .collect()
+            )
+            if len(fast) <= self.FAST_COLLECT_MAX_BLOCKS:
+                return self._score_local(fast, qterms, self._idf(dfmap_from(fast), qterms), k)
+            if mode == "local":  # forced local: collect everything
+                rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
+                return self._score_local(rows, qterms, self._idf(dfmap_from(rows), qterms), k)
+
+        # --- column-pruned metadata scan: per-term df (hence idf),
+        # the local/distributed decision, AND the per-span WAND
+        # bounds — without touching the terms table.  A cap guards
+        # the astronomically-hot case (≥ ~260 G postings across the
+        # query's terms): fall back to terms-table stats + fully
+        # distributed bound aggregation (never an unbounded collect).
         meta = (
             blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl", "n_docs")
             .limit(self.META_COLLECT_CAP + 1)
@@ -365,23 +421,14 @@ class SparkIndex:
             meta = None
             idf, total_blocks, total_postings = self.idfs(qterms, field)
         else:
-            dfmap: dict[str, int] = {}
-            for r in meta:
-                dfmap[r["term"]] = dfmap.get(r["term"], 0) + r["n_docs"]
-            n = self.n_docs
-            idf = {
-                t: math.log(
-                    1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5)
-                )
-                for t in qterms
-            }
+            dfm = dfmap_from(meta)
+            idf = self._idf(dfm, qterms)
             total_blocks = len(meta)
-            total_postings = sum(dfmap.values())
+            total_postings = sum(dfm.values())
 
-        if mode == "local" or (
-            mode == "auto" and total_postings <= self.LOCAL_SCORE_MAX_POSTINGS
-        ):
-            return self._score_local(blocks_q, qterms, idf, k)
+        if mode == "auto" and total_postings <= self.LOCAL_SCORE_MAX_POSTINGS:
+            rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
+            return self._score_local(rows, qterms, idf, k)
 
         # pruning pays for its extra driver round-trips only when
         # there are enough blocks to skip; below the threshold the
@@ -397,12 +444,10 @@ class SparkIndex:
                 [(int(r["doc_id"]), float(r["score"])) for r in rows]
             )
 
-        if prune:
-            if meta is None:  # hot-query fallback took the terms path
-                meta = blocks_q.select(
-                    "term", "span_id", "max_tf_norm", "enc_avgdl"
-                ).collect()
-            wts = {u: idf[u] * qterms.count(u) for u in uniq}
+        wts = {u: idf[u] * qterms.count(u) for u in uniq}
+        n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
+
+        if prune and meta is not None:
             ub: dict[int, float] = {}
             for r in meta:
                 # inflate stale bounds when the corpus avgdl moved
@@ -412,12 +457,11 @@ class SparkIndex:
                 ub[r["span_id"]] = ub.get(r["span_id"], 0.0) + (
                     wts[r["term"]] * r["max_tf_norm"] * infl
                 )
-            n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
             boot_spans = [
                 s for s, _ in sorted(ub.items(), key=lambda kv: -kv[1])[:n_boot]
             ]
             boot_rows = self._score_spans(
-                blocks_q.where(F.col("span_id").isin(boot_spans)), qterms, idf, k
+                self._span_filter(blocks_q, boot_spans), qterms, idf, k
             ).collect()
             boot_rows = sorted(
                 boot_rows, key=lambda r: (-r["score"], r["doc_id"])
@@ -431,14 +475,53 @@ class SparkIndex:
                 ]
                 rest_rows = (
                     self._score_spans(
-                        blocks_q.where(F.col("span_id").isin(survivors)),
-                        qterms,
-                        idf,
-                        k,
+                        self._span_filter(blocks_q, survivors), qterms, idf, k
                     ).collect()
                     if survivors
                     else []
                 )
+                return merge_topk(list(boot_rows) + list(rest_rows))
+            return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
+
+        if prune:  # meta overflowed the cap: distributed bound agg.
+            # Per-span upper bound = Σ_blocks wt(term)·max_tf_norm·
+            # inflation, as ONE groupBy(span_id) — #spans rows, never
+            # #blocks.  Only the n_boot highest-bound spans are
+            # collected; survivors stay a DataFrame and join against
+            # the blocks (AQE broadcasts it when small).
+            wts_df = self.spark.createDataFrame(
+                [(t, float(wts[t])) for t in uniq], "term string, wt double"
+            )
+            bounds = (
+                blocks_q.join(F.broadcast(wts_df), "term")
+                .groupBy("span_id")
+                .agg(
+                    F.sum(
+                        F.col("wt")
+                        * F.col("max_tf_norm")
+                        * F.greatest(
+                            F.lit(1.0), F.lit(self.avgdl) / F.col("enc_avgdl")
+                        )
+                    ).alias("ub")
+                )
+            )
+            boot = bounds.orderBy(F.desc("ub"), F.asc("span_id")).limit(n_boot).collect()
+            boot_spans = [int(r["span_id"]) for r in boot]
+            boot_rows = self._score_spans(
+                self._span_filter(blocks_q, boot_spans), qterms, idf, k
+            ).collect()
+            boot_rows = sorted(
+                boot_rows, key=lambda r: (-r["score"], r["doc_id"])
+            )[:k]
+            if len(boot_rows) >= k:
+                theta = boot_rows[-1]["score"]
+                survivors_df = bounds.where(
+                    (F.col("ub") >= theta)
+                    & ~F.col("span_id").isin(boot_spans)
+                ).select("span_id")
+                rest_rows = self._score_spans(
+                    blocks_q.join(survivors_df, "span_id"), qterms, idf, k
+                ).collect()
                 return merge_topk(list(boot_rows) + list(rest_rows))
             return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
 

@@ -24,6 +24,14 @@ def get_spark(
     partitions default to the core count (not Spark's 200 — wrong for
     both tiny local data and for a real cluster, where it should be
     ~2-3x total executor cores).
+
+    ``spark.local.dir`` stays at the platform default (disk-backed)
+    so shuffle spill actually relieves memory pressure.  The
+    benchmark harnesses opt into tmpfs scratch explicitly (see
+    bench.py / tools/scaling_bench.py: on this single-box sandbox the
+    one shared virtio disk would otherwise measure the disk, not the
+    engine — a real cluster's node-local scratch scales with node
+    count).  $SPARK_GRAFT_LOCAL_DIR overrides either way.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -46,15 +54,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # shuffle/spill scratch: on a real cluster this is node-local
-        # NVMe whose aggregate bandwidth scales with the node count;
-        # on a single sandbox box the one shared disk does not — tmpfs
-        # restores the per-node-scaling property (override with
-        # SPARK_GRAFT_LOCAL_DIR, e.g. for disk-constrained hosts)
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # v2 commit: task outputs move to the final location at task
@@ -65,6 +64,9 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
+    # the user's explicit env knob wins over harness extra_conf
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        builder = builder.config("spark.local.dir", os.environ["SPARK_GRAFT_LOCAL_DIR"])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -94,11 +94,55 @@ def test_meta_cap_fallback_identical(corpus, monkeypatch):
     normal = [
         (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
     ]
+    monkeypatch.setattr(type(si), "FAST_COLLECT_MAX_BLOCKS", 0)
     monkeypatch.setattr(type(si), "META_COLLECT_CAP", 1)
     fallback = [
         (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
     ]
     assert fallback == normal
+
+
+@pytest.mark.parametrize("q", ["tok1 tok3 tok17", "tok1", "tok2 tok2 tok5"])
+def test_distributed_bounds_prune_identical(corpus, monkeypatch, q):
+    """When block metadata can't be collected (META_COLLECT_CAP hit),
+    WAND bounds aggregate distributed (groupBy span_id) and survivors
+    apply as a join — results must equal the exhaustive path."""
+    si, _, _ = corpus
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=False, mode="distributed").collect()
+    ]
+    monkeypatch.setattr(type(si), "FAST_COLLECT_MAX_BLOCKS", 0)
+    monkeypatch.setattr(type(si), "META_COLLECT_CAP", 1)
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=True, mode="distributed").collect()
+    ]
+    assert pruned == exhaustive, q
+
+
+def test_many_span_survivors_broadcast_join(corpus, monkeypatch):
+    """Past ISIN_MAX_SPANS the span filter must switch to a broadcast
+    join (no 10^5-literal In expression in the plan) and stay
+    result-identical."""
+    si, _, _ = corpus
+    q = "tok1 tok3 tok17"
+    baseline = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=True, mode="distributed").collect()
+    ]
+    monkeypatch.setattr(type(si), "ISIN_MAX_SPANS", 0)
+    joined = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, 10, prune=True, mode="distributed").collect()
+    ]
+    assert joined == baseline
+
+    # plan-level: the join form contains a broadcast join on span_id
+    # and no literal IN-list over span_id
+    plan = si._span_filter(si.blocks, range(50))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "span_id IN" not in plan.replace("#", " ")
 
 
 def test_get_docs_materialization(corpus):

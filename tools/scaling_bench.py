@@ -67,7 +67,8 @@ def monitor():
             steal.append(100.0 * d[7] / tot)
 threading.Thread(target=monitor, daemon=True).start()
 
-spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=cores)
+spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=cores,
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-local"}})
 spark.range(1000).selectExpr("sum(id)").collect()  # warm
 
 # identical input table at every trial, materialized OUTSIDE the
