@@ -72,6 +72,8 @@ GROUP BY doc_id{limit}
 # ------------------------------------------------- persisted-index cache
 
 _IDX_CACHE: dict[str, str] = {}
+_DEL_CACHE: dict[str, str] = {}
+_FEAT_CACHE: dict[str, str] = {}
 
 
 def _doc_index(spark: SparkSession, sf_dir: str):
@@ -91,6 +93,65 @@ def _doc_index(spark: SparkSession, sf_dir: str):
         )
         _IDX_CACHE[sf_dir] = idx_dir
     return SparkIndex(spark, _IDX_CACHE[sf_dir])
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str):
+    """Index built over documents, then fingerprint-dedup LOSERS
+    (every doc that is not the min-doc_id survivor of its leading-
+    3-token fingerprint group) row-level DELETED from it — dedup's
+    natural follow-through (reference delete:
+    ``store/goleveldb/writer.go:54-65``)."""
+    from neosearch_spark.analyzer import tokens_col
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.maintenance import delete_docs
+    from neosearch_spark.query import SparkIndex
+
+    if sf_dir not in _DEL_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        idx_dir = f"/tmp/neosearch_idx_del_{tag}"
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+        IndexBuilder(idx_dir, analyzed_fields=["text"], exact_fields=["lang"], span=256).build(docs)
+        fp = F.array_join(F.slice(tokens_col(F.col("text")), 1, 3), " ")
+        surv = (
+            docs.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        losers = docs.select("doc_id").join(surv, "doc_id", "left_anti")
+        delete_docs(spark, idx_dir, losers)
+        _DEL_CACHE[sf_dir] = idx_dir
+    return SparkIndex(spark, _DEL_CACHE[sf_dir])
+
+
+def _feature_index(spark: SparkSession, sf_dir: str):
+    """Index over documents augmented with a struct column and an
+    array column — exercises dotted struct-path fields
+    (``index.go:455-468``) and element-wise array indexing
+    (``index.go:483-508``) through the whole build/query stack."""
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.query import SparkIndex
+
+    if sf_dir not in _FEAT_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        idx_dir = f"/tmp/neosearch_idx_feat_{tag}"
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "lang", "source")
+            .withColumn("meta", F.struct(F.col("lang").alias("lang")))
+            .withColumn("tags", F.array("lang", "source"))
+        )
+        IndexBuilder(
+            idx_dir,
+            analyzed_fields=["text"],
+            exact_fields=["meta.lang", "tags"],
+            span=256,
+        ).build(docs, resume=True)
+        _FEAT_CACHE[sf_dir] = idx_dir
+    return SparkIndex(spark, _FEAT_CACHE[sf_dir])
 
 
 # ----------------------------------------------------------------- contract
@@ -148,6 +209,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idx_bm25_topk"] = lambda s, d: _doc_index(s, d).bm25_topk(
         " ".join(BM25_Q), k=10, prune=True
     ).withColumn("score", F.round(F.col("score"), 6))
+    q["fts_xor"] = lambda s, d: fts.xor_docs(_docs(s, d), ["vector"], ["join"])
+    q["idx_xor"] = lambda s, d: _doc_index(s, d).xor_docs(["vector"], ["join"])
+
+    # numeric range scans (big-endian key-order analog,
+    # engine_test.go:71-174): doc-store row-group pruning + span-
+    # pruned posting range lookup
+    q["idx_range_docs"] = lambda s, d: (
+        _doc_index(s, d).range_docs(100, 300).select("doc_id", "lang").orderBy("doc_id")
+    )
+    q["idx_range_term"] = lambda s, d: _doc_index(s, d).term_docs_in_range(
+        "vector", 50, 400
+    )
+
+    # row-level delete: index minus exact-dup losers
+    q["idx_delete_term"] = lambda s, d: _deleted_index(s, d).term_docs("vector")
+    q["idx_delete_stats"] = lambda s, d: (
+        _deleted_index(s, d)
+        .doc_len.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+
+    # nested struct-path + array-element fields through the block index
+    q["idx_nested_field"] = lambda s, d: _feature_index(s, d).term_docs(
+        "fr", field="meta.lang"
+    )
+    q["idx_array_field"] = lambda s, d: _feature_index(s, d).term_docs(
+        "src3", field="tags"
+    )
 
     # --- dedup family ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -159,8 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n_hashes=8, band_size=2
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d), bits=16).orderBy("doc_id")
+    # max_token_df far above the fixture's max df: the cap machinery
+    # runs (bounded candidate generation) with output unchanged
     q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
-        _docs(s, d), threshold=0.8, max_doc_id=100
+        _docs(s, d), threshold=0.8, max_doc_id=100, max_token_df=100_000
     )
 
     # --- text analysis ---
@@ -244,6 +337,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_join_agg"] = rel_join_agg
 
+    def rel_range_ts(s, d):
+        # timestamp range predicate pushed to the parquet scan (the
+        # reference's typed numeric .idx key-order scan delegated to
+        # Catalyst/parquet, SURVEY §1.4)
+        ev = _t(s, d, "events")
+        return (
+            ev.where(
+                (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["rel_range_ts"] = rel_range_ts
+
     def events_sessions(s, d):
         from pyspark.sql import Window
 
@@ -305,6 +418,12 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT A
     o["fts_bm25_topk"] = _bm25_sql(BM25_Q, 10)
     o["fts_exact_field"] = "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id"
 
+    o["fts_xor"] = f"""{TOKS},
+a AS (SELECT DISTINCT doc_id FROM toks WHERE token = 'vector'),
+b AS (SELECT DISTINCT doc_id FROM toks WHERE token = 'join')
+SELECT doc_id FROM ((SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+UNION (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a)) ORDER BY doc_id"""
+
     # index-backed variants answer to the same oracles
     o["idx_term"] = o["fts_term"]
     o["idx_and"] = o["fts_and"]
@@ -312,6 +431,37 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT A
     o["idx_prefix"] = o["fts_prefix"]
     o["idx_exact_field"] = o["fts_exact_field"]
     o["idx_bm25_topk"] = o["fts_bm25_topk"]
+    o["idx_xor"] = o["fts_xor"]
+
+    o["idx_range_docs"] = (
+        "SELECT doc_id, lang FROM documents WHERE doc_id BETWEEN 100 AND 300 ORDER BY doc_id"
+    )
+    o["idx_range_term"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks "
+        "WHERE token = 'vector' AND doc_id BETWEEN 50 AND 400 ORDER BY doc_id"
+    )
+
+    FP_SURV = (
+        "surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY "
+        "array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 3), ' '))"
+    )
+    o["idx_delete_term"] = f"""
+WITH {FP_SURV},
+toks AS (SELECT d.doc_id, unnest(string_split(lower(trim(d.text)), ' ')) AS token
+         FROM documents d JOIN surv USING (doc_id))
+SELECT DISTINCT doc_id FROM toks WHERE token = 'vector' ORDER BY doc_id"""
+    o["idx_delete_stats"] = f"""
+WITH {FP_SURV},
+dl AS (SELECT len(string_split(lower(trim(d.text)), ' '))::BIGINT AS dl
+       FROM documents d JOIN surv USING (doc_id))
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
+
+    o["idx_nested_field"] = (
+        "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id"
+    )
+    o["idx_array_field"] = (
+        "SELECT doc_id FROM documents WHERE lang = 'src3' OR source = 'src3' ORDER BY doc_id"
+    )
 
     H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
     o["dedup_exact"] = f"""
@@ -434,6 +584,12 @@ WITH ranked AS (
   FROM orders WHERE o_custkey < 100)
 SELECT o_custkey, o_orderkey, rank::BIGINT AS rank FROM ranked WHERE rank <= 3
 ORDER BY o_custkey, rank"""
+    o["rel_range_ts"] = """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type ORDER BY event_type"""
+
     o["rel_join_agg"] = """
 SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey

@@ -79,8 +79,13 @@ def _occurrence_stream(
     analyzed_fields: list[str],
     exact_fields: list[str],
     include_whole: bool = True,
+    field_codes: dict[str, int] | None = None,
 ) -> DataFrame:
     """(field, term, doc_id, dl) — one row per term OCCURRENCE.
+
+    With ``field_codes``, emits a byte ``fid`` code instead of the
+    ``field`` string (shuffle-row shrink — the string is restored
+    from the code post-shuffle in the encoder).
 
     Analyzed fields explode their term arrays; exact fields index the
     raw value as a single term (the reference's single-token path,
@@ -97,42 +102,88 @@ def _occurrence_stream(
     because they are long (~100 B vs ~8 B tokens — half the shuffle
     bytes) and almost always df=1."""
     with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
+
+    def fcol(f: str) -> F.Column:
+        if field_codes is None:
+            return F.lit(f).alias("field")
+        return F.lit(field_codes[f]).cast("tinyint").alias("fid")
+
     parts = []
     for f in analyzed_fields:
-        src = terms_col(F.col(f)) if include_whole else tokens_col(F.col(f))
+        if _is_array_field(docs, f):
+            # array-of-string: every element analyzed into the SAME
+            # field databases (reference ``index.go:483-508``)
+            elem = with_dl.withColumn("_v", F.explode(F.col(f)))
+            src = terms_col(F.col("_v")) if include_whole else tokens_col(F.col("_v"))
+        else:
+            elem = with_dl
+            src = terms_col(F.col(f)) if include_whole else tokens_col(F.col(f))
         parts.append(
-            with_dl.select(
-                F.lit(f).alias("field"),
+            elem.select(
+                fcol(f),
                 F.explode(src).alias("term"),
                 F.col("doc_id"),
                 F.col("dl"),
             )
         )
     for f in exact_fields:
-        parts.append(
-            with_dl.where(F.col(f).isNotNull() & (F.col(f) != "")).select(
-                F.lit(f).alias("field"),
+        if _is_array_field(docs, f):
+            part = with_dl.select(
+                fcol(f),
+                F.explode(F.col(f)).alias("term"),
+                F.col("doc_id"),
+                F.col("dl"),
+            ).where(F.col("term").isNotNull() & (F.col("term") != ""))
+        else:
+            part = with_dl.where(F.col(f).isNotNull() & (F.col(f) != "")).select(
+                fcol(f),
                 F.col(f).alias("term"),
                 F.col("doc_id"),
                 F.col("dl"),
             )
-        )
+        parts.append(part)
     allt = parts[0]
     for p in parts[1:]:
         allt = allt.unionByName(p)
     return allt
 
 
+def _is_array_field(docs: DataFrame, f: str) -> bool:
+    """True when the (possibly dotted struct-path) field resolves to
+    array<string> — reference element-wise array indexing
+    (``index.go:483-508``).  Dotted paths (``address.city``) need no
+    special handling: ``F.col`` resolves struct paths natively
+    (SURVEY §1.4), and the dotted path itself becomes the index field
+    name (the reference's '.'-joined slug, ``index.go:337-339``)."""
+    from pyspark.sql.types import ArrayType
+
+    return isinstance(docs.select(F.col(f)).schema[0].dataType, ArrayType)
+
+
 def _whole_string_stream(docs: DataFrame, analyzed_fields: list[str]) -> DataFrame:
     """(field, term, doc_id, dl) rows for the whole-string extra term
-    of multi-token values (reference ``index.go:546-553``)."""
+    of multi-token values (reference ``index.go:546-553``); array
+    fields contribute one whole-string term per multi-token element."""
     with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
     parts = []
     for f in analyzed_fields:
+        if _is_array_field(docs, f):
+            # normalize + per-row dedupe BEFORE exploding: duplicate
+            # elements (or case variants) must yield ONE whole-string
+            # term per doc, or the shuffle-free singleton-block path
+            # would emit the same (field, term, doc) twice
+            src = with_dl.withColumn(
+                "_v",
+                F.explode(F.array_distinct(F.transform(F.col(f), norm_col))),
+            )
+            val = F.col("_v")
+        else:
+            src = with_dl
+            val = F.col(f)
         parts.append(
-            with_dl.where(F.size(tokens_col(F.col(f))) > 1).select(
+            src.where(F.size(tokens_col(val)) > 1).select(
                 F.lit(f).alias("field"),
-                norm_col(F.col(f)).alias("term"),
+                norm_col(val).alias("term"),
                 F.col("doc_id"),
                 F.col("dl"),
             )
@@ -311,6 +362,84 @@ def singleton_encoder(avgdl: float, span: int):
     return encode
 
 
+def hot_terms(
+    docs: DataFrame,
+    analyzed_fields: list[str],
+    exact_fields: list[str],
+    n_rows: int,
+    n_hot: int = 65536,
+    sample_rows: int = 200_000,
+) -> list[str]:
+    """Top-``n_hot`` terms by occurrence count over a doc sample —
+    the shuffle dictionary.  By Zipf, ~64 K hot terms cover the large
+    majority of occurrence rows, so dictionary-coding just these
+    shrinks shuffle/sort bytes per row by ~40% while the (unbounded,
+    possibly billions-strong at 10^12 turns) rare-term tail keeps its
+    strings — no full-vocabulary map is ever built or broadcast.
+
+    The dictionary affects ONLY physical routing and sort keys; index
+    CONTENT is a pure function of the data (blocks are keyed by the
+    reconstructed term strings), so a different sample — e.g. at a
+    different parallelism — yields a byte-identical logical index
+    (asserted by the scaling harness's cross-level signatures)."""
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    sample = docs.sample(fraction=frac, seed=42) if frac < 1.0 else docs
+    occ = _occurrence_stream(
+        sample, analyzed_fields, exact_fields, include_whole=False
+    )
+    rows = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))  # TakeOrdered, no full sort
+        .limit(n_hot)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def coded_carry_encoder(avgdl: float, span: int, fields: list[str], vocab_bc):
+    """carry_encoder over the dictionary-coded shuffle stream.
+
+    Input rows: (fid tinyint, tcode int, term string|null, doc_id,
+    dl, part_id) sorted by (fid, tcode, term, doc_id).  Reconstructs
+    (field, term, span_id) vectorized — field from the fids list,
+    hot terms from the broadcast vocabulary, span from doc_id — then
+    delegates to the uncoded ``carry_encoder``."""
+    inner = carry_encoder(avgdl=avgdl, span=span)
+    fields_list = list(fields)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        farr = np.asarray(fields_list, dtype=object)
+        vocab = np.asarray(vocab_bc.value, dtype=object) if vocab_bc is not None else None
+
+        def decoded() -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                term = pdf["term"].to_numpy(dtype=object).copy()
+                if vocab is not None and len(vocab):
+                    tcode = pdf["tcode"].to_numpy(dtype=np.int64)
+                    hot = tcode >= 0
+                    term[hot] = vocab[tcode[hot]]
+                doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "field": farr[pdf["fid"].to_numpy(dtype=np.int64)],
+                        "term": term,
+                        "span_id": doc // span,
+                        "doc_id": doc,
+                        "dl": pdf["dl"].to_numpy(dtype=np.int64),
+                        "part_id": pdf["part_id"].to_numpy(dtype=np.int64)
+                        if "part_id" in pdf.columns
+                        else np.full(len(pdf), -1, dtype=np.int64),
+                    }
+                )
+
+        yield from inner(decoded())
+
+    return encode
+
+
 def carry_encoder(avgdl: float, span: int):
     """mapInPandas generator encoding sorted (field, term, span_id,
     doc_id[, tf], dl) rows into blocks.
@@ -318,7 +447,11 @@ def carry_encoder(avgdl: float, span: int):
     Arrow hands a partition over in row batches; a (term, span) group
     can straddle a batch boundary, which would fragment its block.
     Hold back each batch's last group and prepend it to the next
-    batch (bounded memory: ≤ span rows carried)."""
+    batch.  Carried memory on the single-shuffle path is bounded by
+    the group's OCCURRENCE rows — ≤ span docs × max per-doc tf (a doc
+    repeating one term heavily inflates it; doc length bounds per-doc
+    tf, so the worst case is span × max_dl rows ≈ a few MB, not the
+    ≤-span-postings bound that holds for pre-aggregated input)."""
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -364,11 +497,19 @@ class IndexBuilder:
         analyzed_fields: list[str] | None = None,
         exact_fields: list[str] | None = None,
         span: int = DEFAULT_SPAN,
+        hot_dict_min_rows: int = 100_000,
+        n_hot: int = 65536,
     ):
+        """hot_dict_min_rows: corpora below this size skip the
+        hot-term shuffle dictionary (the sampling job would cost more
+        than the shuffle saves); n_hot: dictionary capacity.  Neither
+        affects index CONTENT — only shuffle routing/bytes."""
         self.index_dir = index_dir
         self.analyzed_fields = analyzed_fields or ["text"]
         self.exact_fields = exact_fields or []
         self.span = span
+        self.hot_dict_min_rows = hot_dict_min_rows
+        self.n_hot = n_hot
 
     # --- manifest -------------------------------------------------
     @property
@@ -453,9 +594,18 @@ class IndexBuilder:
         def stop(stage: str) -> bool:
             return stop_after is not None and stage == stop_after
 
-        # stage: docs (document store — the reference's document.db)
+        # stage: docs (document store — the reference's document.db).
+        # Sorted by doc_id within each file: parquet row-group min/max
+        # stats then prune doc_id range scans and point lookups — the
+        # Spark analog of the reference's big-endian key order making
+        # numeric range scans cheap on the LSM
+        # (``engine_test.go:71-174``).  No shuffle: docID assignment
+        # already lays partitions out in doc_id order, so files cover
+        # near-disjoint ranges.
         if not self._stage_done(m, "docs", fp):
-            docs.write.mode("overwrite").parquet(self.path("docs"))
+            docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+                self.path("docs")
+            )
             self._mark_stage(m, "docs", fp, rows=n_rows)
         if stop("docs"):
             return
@@ -503,31 +653,87 @@ class IndexBuilder:
             docs_in = docs_t
             if docs_in.rdd.getNumPartitions() < nparts:
                 docs_in = docs_in.repartition(nparts)
+            # Shuffle-row shrink: field rides as a byte code, span_id
+            # is an exchange-only expression (recomputed from doc_id
+            # post-shuffle), and the top-n_hot terms (by a sampled
+            # occurrence count — Zipf makes them cover most rows)
+            # shuffle as a 4-byte dictionary code with the string
+            # nulled out.  The rare-term tail keeps its strings, so
+            # no full-vocabulary map is ever built: at 10^12 turns
+            # the vocabulary is billions strong but the dictionary
+            # stays 64 K entries.  ~40% fewer shuffle/sort bytes per
+            # row and int sort keys for the hot majority.
+            fields = self.analyzed_fields + self.exact_fields
+            field_codes = {f: i for i, f in enumerate(fields)}
+            vocab: list[str] = (
+                hot_terms(
+                    docs_in, self.analyzed_fields, self.exact_fields,
+                    n_rows, n_hot=self.n_hot,
+                )
+                if n_rows >= self.hot_dict_min_rows
+                else []
+            )
             occ = _occurrence_stream(
                 docs_in, self.analyzed_fields, self.exact_fields,
-                include_whole=False,
+                include_whole=False, field_codes=field_codes,
             )
-            enriched = occ.withColumn(
-                "span_id", (F.col("doc_id") / span).cast("long")
-            )
+            if vocab:
+                hot_df = spark.createDataFrame(
+                    [(t, i) for i, t in enumerate(vocab)],
+                    "hterm string, tcode int",
+                )
+                coded = (
+                    occ.join(
+                        F.broadcast(hot_df),
+                        occ["term"] == hot_df["hterm"],
+                        "left",
+                    ).select(
+                        "fid",
+                        F.coalesce("tcode", F.lit(-1)).alias("tcode"),
+                        F.when(
+                            F.col("tcode").isNotNull(),
+                            F.lit(None).cast("string"),
+                        )
+                        .otherwise(F.col("term"))
+                        .alias("term"),
+                        "doc_id",
+                        "dl",
+                    )
+                )
+            else:
+                coded = occ.select(
+                    "fid", F.lit(-1).alias("tcode"), "term", "doc_id", "dl"
+                )
             # HASH partition by the block key, then sort within
             # partitions: gives the encoder co-located, contiguous
             # (field, term, span) groups WITHOUT repartitionByRange's
             # extra sampling pass (which re-runs tokenize+explode over
-            # the whole corpus just to pick boundaries).  Each output
-            # file is still term-sorted internally, so parquet
-            # row-group min/max stats keep pruning term lookups.
-            # 4x overpartition: smaller per-task sorts + pipelined
-            # Arrow/Python encode behind the shuffle (measured ~2x on
-            # the encode step vs 1x parallelism at 33M rows).
+            # the whole corpus just to pick boundaries).  The span
+            # component of the key keeps hot-term groups bounded (the
+            # skew salt).  Each output file is still term-sorted
+            # internally, so parquet row-group min/max stats keep
+            # pruning term lookups.  4x overpartition: smaller
+            # per-task sorts + pipelined Arrow/Python encode behind
+            # the shuffle (measured ~2x on the encode step vs 1x
+            # parallelism at 33M rows).
             arranged = (
-                enriched.repartition(nparts, "field", "term", "span_id")
-                .sortWithinPartitions("field", "term", "span_id", "doc_id")
+                coded.repartition(
+                    nparts,
+                    F.col("fid"),
+                    F.col("tcode"),
+                    F.col("term"),
+                    (F.col("doc_id") / span).cast("long"),
+                )
+                .sortWithinPartitions("fid", "tcode", "term", "doc_id")
                 .withColumn("part_id", F.spark_partition_id())
             )
 
+            vocab_bc = spark.sparkContext.broadcast(vocab)
             blocks = arranged.mapInPandas(
-                carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
+                coded_carry_encoder(
+                    avgdl=avgdl, span=span, fields=fields, vocab_bc=vocab_bc
+                ),
+                schema=BLOCK_SCHEMA,
             )
             # two-step write: stage the hash-layout encode output,
             # then range-repartition the (compressed, ~50x smaller

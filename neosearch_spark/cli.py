@@ -81,6 +81,12 @@ def cmd_query(args) -> int:
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
     ids = _eval_dsl(idx, json.loads(args.dsl))
+    if args.dry_run:
+        # the _analyze analog (get_analyze.go:27-76): print the
+        # physical plan — pushed filters visible — without executing
+        plan = ids._jdf.queryExecution().executedPlan().toString()
+        print(json.dumps({"dry_run": True, "dsl": json.loads(args.dsl), "plan": plan}))
+        return 0
     docs = idx.get_docs(ids, limit=args.limit)
     total = ids.count()
     results = [r.asDict() for r in docs.collect()]
@@ -95,6 +101,9 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
+    if args.dry_run:
+        print(json.dumps({"dry_run": True, **idx.explain_query(args.query, k=args.k)}))
+        return 0
     top = idx.bm25_topk(args.query, k=args.k, prune=not args.no_prune).collect()
     print(
         json.dumps(
@@ -137,6 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--dsl", required=True)
     q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--dry-run", action="store_true",
+                   help="print the physical plan (pushed filters) without executing")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("search", help="BM25 top-k")
@@ -144,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--no-prune", action="store_true")
+    s.add_argument("--dry-run", action="store_true",
+                   help="print planned stages + block-scan plan without executing")
     s.set_defaults(fn=cmd_search)
 
     y = sub.add_parser("synth", help="generate deterministic transcripts")

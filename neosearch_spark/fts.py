@@ -89,6 +89,21 @@ def not_docs(
     )
 
 
+def xor_docs(
+    docs: DataFrame, a_terms: list[str], b_terms: list[str], field: str = "text"
+) -> DataFrame:
+    """Docs matching OR(a_terms) or OR(b_terms) but not both — the
+    symmetric difference the reference planned but never shipped
+    (``PROPOSAL.md:223-224``).  Two anti-joins, no full outer."""
+    a = or_docs(docs, a_terms, field)
+    b = or_docs(docs, b_terms, field)
+    return (
+        a.join(b, "doc_id", "left_anti")
+        .unionByName(b.join(a, "doc_id", "left_anti"))
+        .orderBy("doc_id")
+    )
+
+
 def prefix_docs(docs: DataFrame, prefix: str, field: str = "text") -> DataFrame:
     return (
         token_stream(docs, field)

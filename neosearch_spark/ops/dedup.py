@@ -144,14 +144,21 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_doc_id: int | None = None,
     round_to: int = 6,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard similarity for candidate pairs.
 
     Candidates = pairs sharing ≥1 token (inverted-index join on
-    token — the posting-list machinery reused for similarity).  At
-    scale the hot-token join is bounded by dropping ubiquitous tokens
-    (df cap) before the self-join; here the optional max_doc_id bound
-    keeps oracle-gate outputs small."""
+    token — the posting-list machinery reused for similarity).
+
+    ``max_token_df`` bounds the self-join at scale: a token appearing
+    in d docs generates O(d²) candidate rows, so one stop-word-like
+    token with df=10⁶ would materialize 10¹² pairs.  Tokens with
+    df > max_token_df are excluded from CANDIDATE GENERATION (they
+    still count in the intersection/union once a pair is a candidate
+    via some rarer shared token — so scores stay exact; only pairs
+    whose EVERY shared token is ubiquitous are missed, a deliberate
+    recall trade documented here)."""
     d = docs
     if max_doc_id is not None:
         d = d.where(F.col("doc_id") < max_doc_id)
@@ -161,13 +168,37 @@ def jaccard_pairs(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_token_df is None:
+        a = toks.alias("a")
+        b = toks.alias("b")
+        inter = (
+            a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_df"))
+        cand_toks = (
+            toks.join(dfs.where(F.col("token_df") <= max_token_df), "token")
+            .select("doc_id", "token")
+        )
+        a = cand_toks.alias("a")
+        b = cand_toks.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        # exact intersection sizes for the candidate pairs, over the
+        # FULL token sets (the cap only limited candidate generation)
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+        tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+        inter = (
+            pairs.join(ta, "doc_a")
+            .join(tb, ["doc_b", "token"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (

@@ -59,6 +59,9 @@ class SparkIndex:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
+        from .maintenance import check_not_torn
+
+        check_not_torn(self.manifest, index_dir)
         p = self.manifest["params"]
         self.span = int(p["span"])
         stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
@@ -173,6 +176,20 @@ class SparkIndex:
             .orderBy("doc_id")
         )
 
+    def xor_docs(
+        self, a_terms: list[str], b_terms: list[str], field: str = "text"
+    ) -> DataFrame:
+        """Symmetric difference of OR(a_terms) and OR(b_terms) — the
+        reference's planned-but-unshipped XOR (``PROPOSAL.md:
+        223-224``).  Two anti-joins over decoded postings."""
+        a = self.or_docs(a_terms, field)
+        b = self.or_docs(b_terms, field)
+        return (
+            a.join(b, "doc_id", "left_anti")
+            .unionByName(b.join(a, "doc_id", "left_anti"))
+            .orderBy("doc_id")
+        )
+
     def prefix_docs(self, prefix: str, field: str = "text") -> DataFrame:
         """MatchPrefix analog (``filter.go:67-118``), normalized to
         docID-ascending (divergence §2.11.3)."""
@@ -180,6 +197,34 @@ class SparkIndex:
             (F.col("field") == field) & F.col("term").startswith(prefix)
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
+
+    def range_docs(self, lo: int, hi: int) -> DataFrame:
+        """Numeric range scan over the doc store (the reference's
+        big-endian LSM key-order range scan, ``engine_test.go:
+        71-174``): the doc_id predicate pushes to the parquet scan and
+        prunes row groups because the docs stage is written doc_id-
+        sorted (build.py)."""
+        return self.docs.where(F.col("doc_id").between(lo, hi))
+
+    def term_docs_in_range(
+        self, term: str, lo: int, hi: int, field: str = "text"
+    ) -> DataFrame:
+        """Term lookup restricted to a doc_id range, pruned BEFORE
+        decode: the span-aligned block layout maps the range to a
+        span_id interval, so only blocks overlapping it are even
+        scanned (the posting-side analog of the numeric `.idx`
+        key-order scan the reference gets from big-endian keys)."""
+        b = self.blocks.where(
+            (F.col("field") == field)
+            & (F.col("term") == term)
+            & F.col("span_id").between(lo // self.span, hi // self.span)
+        )
+        return (
+            self._decode(b)
+            .where(F.col("doc_id").between(lo, hi))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
 
     def get_docs(self, ids: DataFrame, limit: int | None = None) -> DataFrame:
         """GetDocs analog (``index.go:241-265``): broadcast the
@@ -362,6 +407,38 @@ class SparkIndex:
         order = np.lexsort((all_ids, -acc))[:k]
         out = [(int(all_ids[i]), float(acc[i])) for i in order]
         return self._topk_df(out)
+
+    def explain_query(self, query: str, field: str = "text", k: int = 10) -> dict:
+        """Dry-run planning surface (the ``_analyze`` analog,
+        reference ``service/neosearch/index/get_analyze.go:27-76``):
+        what WOULD run, without executing any job.  Returns the
+        analyzed terms, the block-scan physical plan (showing the
+        pushed-down term predicate), and the path-selection knobs."""
+        qterms = analyze_query(query)
+        uniq = list(dict.fromkeys(qterms))
+        blocks_q = self.blocks.where(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+        plan = (
+            blocks_q.select(*self._PAYLOAD_COLS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            "query_terms": qterms,
+            "field": field,
+            "k": k,
+            "stages": [
+                f"1. pushed-down block scan on term IN {uniq} "
+                f"(fast path if ≤{self.FAST_COLLECT_MAX_BLOCKS} blocks: one job)",
+                f"2. else metadata scan (cap {self.META_COLLECT_CAP} rows) → "
+                f"local scoring if ≤{self.LOCAL_SCORE_MAX_POSTINGS} postings",
+                "3. else distributed per-span scoring with block-max "
+                "WAND pruning (bootstrap + survivors join)",
+            ],
+            "block_scan_plan": plan,
+        }
 
     def bm25_topk(
         self, query: str, k: int = 10, field: str = "text", prune: bool = True,

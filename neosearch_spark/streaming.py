@@ -202,17 +202,23 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
 
     n_touched = touched.count()
 
-    # all outputs materialized — swap directories atomically-ish
-    # (the Iceberg-scale equivalent is a single snapshot commit)
-    for name, tmp in [
-        ("blocks", blocks_tmp),
-        ("terms", terms_tmp),
-        ("doc_len", doc_len_tmp),
-        ("stats", stats_tmp),
-    ]:
-        final = os.path.join(index_dir, name)
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+    # all outputs materialized — swap under a manifest tombstone so a
+    # crash mid-swap leaves an index that refuses to open rather than
+    # serving a torn view (the Iceberg-scale equivalent is a single
+    # snapshot commit)
+    from .maintenance import swap_tables
+
+    swap_tables(
+        index_dir,
+        [
+            ("blocks", blocks_tmp),
+            ("terms", terms_tmp),
+            ("doc_len", doc_len_tmp),
+            ("stats", stats_tmp),
+        ],
+        op="compact_deltas",
+        compact_deltas={"touched_groups": int(n_touched)},
+    )
     shutil.rmtree(delta_dir)
     shutil.rmtree(os.path.join(index_dir, "doc_len_delta"))
     return n_touched

@@ -1,0 +1,54 @@
+"""In-process CLI surface tests (the spark-submit packaging smoke is
+test_submit.py; these cover argument wiring + the --dry-run explain
+surface, the reference's ``_analyze`` analog)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from neosearch_spark import cli
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.docids import assign_doc_ids
+from neosearch_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_idx"))
+    docs = assign_doc_ids(synth_transcripts(spark, 150, seed=3))
+    IndexBuilder(d, span=64).build(docs)
+    return d
+
+
+def test_query_dry_run_prints_plan(spark, idx_dir, capsys):
+    rc = cli.main(
+        ["query", "--index", idx_dir, "--dsl", '{"text": "tok1"}', "--dry-run"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dry_run"] is True
+    assert "PushedFilters" in out["plan"]
+    assert "tok1" in out["plan"]
+
+
+def test_search_dry_run_prints_stages(spark, idx_dir, capsys):
+    rc = cli.main(
+        ["search", "--index", idx_dir, "--query", "tok1 tok2", "--dry-run"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["query_terms"] == ["tok1", "tok2"]
+    assert len(out["stages"]) == 3
+    assert "PushedFilters" in out["block_scan_plan"]
+
+
+def test_query_executes(spark, idx_dir, capsys):
+    rc = cli.main(
+        ["query", "--index", idx_dir, "--dsl", '{"text": "tok1"}', "--limit", "3"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["total"] >= 3
+    assert len(out["results"]) == 3

@@ -71,3 +71,44 @@ def test_logical_postings_match_blocks(spark, tiny_docs, built, tiny_oracle):
 def test_stats(built, tiny_oracle):
     assert built.n_docs == tiny_oracle.n_docs
     assert abs(built.avgdl - tiny_oracle.avgdl) < 1e-12
+
+
+def test_hot_term_dict_content_invariant(spark, tmp_path):
+    """The hot-term shuffle dictionary affects only routing/bytes —
+    index content must be byte-identical with and without it (and
+    therefore for any sampled dictionary, e.g. at other parallelism
+    levels)."""
+    from pyspark.sql import functions as F
+
+    from neosearch_spark.docids import assign_doc_ids
+    from neosearch_spark.synth import synth_transcripts
+
+    docs = assign_doc_ids(synth_transcripts(spark, 800, seed=13))
+
+    def sig(d):
+        return (
+            spark.read.parquet(str(d) + "/blocks")
+            .select(
+                F.md5(
+                    F.concat_ws(
+                        "|", "field", "term", "span_id",
+                        F.base64("docs_enc"), F.base64("tfs_enc"),
+                        F.base64("dls_enc"),
+                    )
+                ).alias("h")
+            )
+            .agg(
+                F.sum(
+                    F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+
+    a, b = tmp_path / "nodict", tmp_path / "dict"
+    IndexBuilder(str(a), span=64, exact_fields=["role", "tool"]).build(docs)
+    IndexBuilder(
+        str(b), span=64, exact_fields=["role", "tool"],
+        hot_dict_min_rows=0, n_hot=37,
+    ).build(docs)
+    assert sig(a) == sig(b)

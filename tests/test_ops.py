@@ -174,3 +174,32 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(media, every_ms=500)
     rows = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_jaccard_df_cap_excludes_hot_token(spark):
+    """A token with df > max_token_df must not GENERATE candidate
+    pairs (the quadratic-bucket guard), while pairs found via rarer
+    tokens keep EXACT scores (full token sets in the intersection)."""
+    from neosearch_spark.ops.dedup import jaccard_pairs
+
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common gamma delta"),
+        (3, "common alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    # 'common' (df=3) connects everything when uncapped
+    assert set(uncapped) == {(1, 2), (1, 3), (2, 3)}
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1, max_token_df=2).collect()
+    }
+    # only (1,3) shares a token under the cap; its score still counts
+    # 'common' in the intersection (exact jaccard = 1.0)
+    assert set(capped) == {(1, 3)}
+    assert capped[(1, 3)] == 1.0
+    assert uncapped[(1, 3)] == 1.0

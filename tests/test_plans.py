@@ -80,3 +80,36 @@ def test_doc_scan_prunes_columns(spark, idx):
         "ReadSchema: struct<doc_id:bigint,conv_id:string>" in plan
         or "ReadSchema: struct<conv_id:string,doc_id:bigint>" in plan
     )
+
+
+def test_docid_range_pushed_to_docs_scan(idx):
+    # numeric range predicate reaches the doc-store scan (big-endian
+    # key-order analog, engine_test.go:71-174); the docs stage is
+    # written doc_id-sorted so row-group min/max stats prune it
+    plan = plan_of(idx.range_docs(10, 20))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(doc_id,10)" in plan
+    assert "LessThanOrEqual(doc_id,20)" in plan
+
+
+def test_range_term_prunes_spans_before_decode(idx):
+    # term + span-interval predicates both reach the blocks scan —
+    # the posting-side range pruning (only blocks overlapping the
+    # doc range are decoded).  The simple plan string truncates long
+    # PushedFilters lists; use the formatted explain.
+    df = idx.term_docs_in_range("tok1", 10, 120)
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EqualTo(term,tok1)" in plan
+    assert "GreaterThanOrEqual(span_id,0)" in plan
+    assert "LessThanOrEqual(span_id,1)" in plan
+
+
+def test_explain_query_dry_run_no_jobs(idx):
+    # the _analyze analog returns a plan containing the pushed term
+    # predicate without running anything
+    out = idx.explain_query("tok1 tok2")
+    assert out["query_terms"] == ["tok1", "tok2"]
+    assert "PushedFilters" in out["block_scan_plan"]
+    assert "tok1" in out["block_scan_plan"]
