@@ -65,7 +65,15 @@ B = 0.75
 DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 6
+INDEX_FORMAT_VERSION = 7
+
+# doc_id and dl pack into ONE shuffled int64 (doc_id << DL_BITS | dl)
+# when every doc length fits DL_BITS — one less column through the
+# shuffle and Arrow.  20 bits = docs up to ~1M tokens; doc_id keeps
+# 43 bits = 8.8T docs ≥ the 10^12-turn target.  Corpora with longer
+# docs fall back to unpacked columns (max_dl is measured in the
+# stats stage — never clamped).
+DL_BITS = 20
 
 BLOCK_SCHEMA = (
     "field string, term string, span_id long, first_doc long, n_docs int, "
@@ -362,6 +370,235 @@ def singleton_encoder(avgdl: float, span: int):
     return encode
 
 
+def _arrow_binary(offsets: np.ndarray, data: np.ndarray):
+    """Zero-copy pyarrow BinaryArray from an int32 offsets array and
+    a uint8 data buffer — no per-value Python bytes objects."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def _single_chunk(tbl, name: str):
+    c = tbl.column(name)
+    if c.num_chunks == 1:
+        return c.chunk(0)
+    return c.combine_chunks()
+
+
+def arrow_carry_encoder(
+    avgdl: float, span: int, fields: list[str], dl_bits: int | None = None
+):
+    """mapInArrow block encoder — the zero-object fast path.
+
+    Same output as ``carry_encoder`` (byte-identical blocks, tested)
+    but never materializes per-row Python objects: group detection is
+    vectorized Arrow string equality + numpy int compares, varint
+    encoding runs once per batch (numpy), and the binary posting
+    columns are assembled directly from offset+data buffers — far
+    lighter on memory bandwidth (the scaling-critical resource on a
+    shared box) than the pandas encoder.
+
+    Input batches: (fid int8, term string, packed int64, part_id int)
+    sorted by (fid, term, packed) within the partition, where
+    ``packed = doc_id << dl_bits | dl`` (monotonic in doc_id, so the
+    sort order is the doc order); with dl_bits=None, unpacked
+    (..., doc_id, dl, ...) columns instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fields_list = list(fields)
+
+    def doc_dl(tbl):
+        if dl_bits is not None:
+            packed = (
+                _single_chunk(tbl, "packed")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return packed >> dl_bits, packed & ((1 << dl_bits) - 1)
+        return (
+            _single_chunk(tbl, "doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            _single_chunk(tbl, "dl").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def encode_tbl(tbl, fields_arr, span_, avgdl_):
+        n = tbl.num_rows
+        fid = _single_chunk(tbl, "fid").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc, dl = doc_dl(tbl)
+        part = _single_chunk(tbl, "part_id").to_numpy(zero_copy_only=False)
+        terms = _single_chunk(tbl, "term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        spn = doc // span_
+
+        gchange = np.ones(n, dtype=bool)
+        if n > 1:
+            teq = pc.equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            gchange[1:] = (
+                (fid[1:] != fid[:-1]) | ~teq | (spn[1:] != spn[:-1])
+            )
+        pchange = gchange.copy()
+        pchange[1:] |= doc[1:] != doc[:-1]
+
+        ps = np.nonzero(pchange)[0]
+        tf = np.diff(np.append(ps, n)).astype(np.int64)  # run lengths
+        doc_p = doc[ps]
+        dl_p = dl[ps]
+        gs = np.nonzero(gchange)[0]
+        gs_p = np.searchsorted(ps, gs)  # group starts in posting space
+        ge_p = np.append(gs_p[1:], len(ps))
+
+        deltas = np.empty(len(doc_p), dtype=np.uint64)
+        if len(doc_p):
+            deltas[0] = doc_p[0]
+            np.subtract(
+                doc_p[1:], doc_p[:-1], out=deltas[1:], casting="unsafe"
+            )
+            deltas[gs_p] = doc_p[gs_p]
+
+        docs_buf, docs_len = codec.varint_encode_with_lengths(deltas)
+        tfs_buf, tfs_len = codec.varint_encode_with_lengths(tf.astype(np.uint64))
+        dls_buf, dls_len = codec.varint_encode_with_lengths(dl_p.astype(np.uint64))
+
+        def offsets(lengths: np.ndarray) -> np.ndarray:
+            boff = np.concatenate(([0], np.cumsum(lengths)))
+            return boff[np.append(gs_p, len(ps))]
+
+        tf_norm = (tf * (K1 + 1.0)) / (
+            tf + K1 * (1.0 - B + B * dl_p / avgdl_)
+        )
+
+        g = len(gs)
+        arrays = [
+            pc.take(fields_arr, pa.array(fid[gs], type=pa.int64())),
+            pc.take(terms, pa.array(gs, type=pa.int64())),
+            pa.array(spn[gs], type=pa.int64()),
+            pa.array(doc_p[gs_p], type=pa.int64()),
+            pa.array((ge_p - gs_p).astype(np.int32), type=pa.int32()),
+            _arrow_binary(offsets(docs_len), docs_buf),
+            _arrow_binary(offsets(tfs_len), tfs_buf),
+            _arrow_binary(offsets(dls_len), dls_buf),
+            pa.array(
+                np.maximum.reduceat(tf, gs_p).astype(np.float64)
+                if len(gs_p)
+                else np.empty(0, np.float64),
+                type=pa.float64(),
+            ),
+            pa.array(
+                np.maximum.reduceat(tf_norm, gs_p)
+                if len(gs_p)
+                else np.empty(0, np.float64),
+                type=pa.float64(),
+            ),
+            pa.array(np.full(g, avgdl_, dtype=np.float64), type=pa.float64()),
+            pa.array(
+                np.full(g, part[0] if len(part) else -1, dtype=np.int32),
+                type=pa.int32(),
+            ),
+        ]
+        names = [
+            "field", "term", "span_id", "first_doc", "n_docs",
+            "docs_enc", "tfs_enc", "dls_enc", "max_tf", "max_tf_norm",
+            "enc_avgdl", "part_id",
+        ]
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def encode(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        fields_arr = pa.array(fields_list, type=pa.string())
+        carry = None
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            # trailing group (may straddle the next batch): rows equal
+            # to the last row on (fid, term, span)
+            fid = _single_chunk(tbl, "fid").to_numpy(zero_copy_only=False)
+            doc, _ = doc_dl(tbl)
+            terms = _single_chunk(tbl, "term")
+            spn = doc // span
+            last_term = terms.slice(n - 1, 1)
+            tail_eq = (
+                (fid == fid[-1])
+                & (spn == spn[-1])
+                & pc.equal(terms, last_term[0]).to_numpy(zero_copy_only=False)
+            )
+            # length of the trailing all-True run
+            tail_len = int(
+                np.argmax(~tail_eq[::-1]) if not tail_eq.all() else n
+            )
+            tail_start = n - tail_len
+            if tail_start == 0:
+                carry = tbl  # whole batch is one group; keep carrying
+                continue
+            carry = tbl.slice(tail_start)
+            yield encode_tbl(tbl.slice(0, tail_start), fields_arr, span, avgdl)
+        if carry is not None and carry.num_rows:
+            yield encode_tbl(carry, fields_arr, span, avgdl)
+
+    return encode
+
+
+def arrow_singleton_encoder(avgdl: float, span: int):
+    """mapInArrow variant of ``singleton_encoder`` (whole-string
+    terms): one block per input row, zero per-row Python objects."""
+    import pyarrow as pa
+
+    def encode(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            doc = _single_chunk(tbl, "doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dl = _single_chunk(tbl, "dl").to_numpy(zero_copy_only=False).astype(np.int64)
+            part = _single_chunk(tbl, "part_id").to_numpy(zero_copy_only=False)
+            docs_buf, docs_len = codec.varint_encode_with_lengths(doc.astype(np.uint64))
+            dls_buf, dls_len = codec.varint_encode_with_lengths(dl.astype(np.uint64))
+            tf_norm = (K1 + 1.0) / (1.0 + K1 * (1.0 - B + B * dl / avgdl))
+            ones_off = np.arange(n + 1, dtype=np.int32)
+            arrays = [
+                _single_chunk(tbl, "field"),
+                _single_chunk(tbl, "term"),
+                pa.array(doc // span, type=pa.int64()),
+                pa.array(doc, type=pa.int64()),
+                pa.array(np.ones(n, dtype=np.int32), type=pa.int32()),
+                _arrow_binary(np.concatenate(([0], np.cumsum(docs_len))), docs_buf),
+                _arrow_binary(ones_off, np.ones(n, dtype=np.uint8)),
+                _arrow_binary(np.concatenate(([0], np.cumsum(dls_len))), dls_buf),
+                pa.array(np.ones(n, dtype=np.float64), type=pa.float64()),
+                pa.array(tf_norm, type=pa.float64()),
+                pa.array(np.full(n, avgdl, dtype=np.float64), type=pa.float64()),
+                pa.array(
+                    np.asarray(part, dtype=np.int32)
+                    if len(part)
+                    else np.full(n, -1, np.int32),
+                    type=pa.int32(),
+                ),
+            ]
+            names = [
+                "field", "term", "span_id", "first_doc", "n_docs",
+                "docs_enc", "tfs_enc", "dls_enc", "max_tf", "max_tf_norm",
+                "enc_avgdl", "part_id",
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return encode
+
+
 def hot_terms(
     docs: DataFrame,
     analyzed_fields: list[str],
@@ -497,13 +734,20 @@ class IndexBuilder:
         analyzed_fields: list[str] | None = None,
         exact_fields: list[str] | None = None,
         span: int = DEFAULT_SPAN,
-        hot_dict_min_rows: int = 100_000,
+        hot_dict_min_rows: int | None = None,
         n_hot: int = 65536,
     ):
-        """hot_dict_min_rows: corpora below this size skip the
-        hot-term shuffle dictionary (the sampling job would cost more
-        than the shuffle saves); n_hot: dictionary capacity.  Neither
-        affects index CONTENT — only shuffle routing/bytes."""
+        """hot_dict_min_rows: corpora at or above this row count use
+        the hot-term shuffle dictionary; None (default) disables it.
+        MEASURED OFF by default: at 3M turns the dictionary LOWERED
+        build throughput 13% at 8 cores (61.8k vs 70.8k turns/s) and
+        scaling efficiency 0.663 vs 0.749 — the broadcast hash probe
+        per occurrence row + the sampling job + Arrow null-column
+        overhead exceed what the ~40% smaller shuffle rows save on
+        this in-memory-shuffle box.  The machinery stays (content-
+        invariance is tested) because the trade can flip where
+        shuffle I/O is the bottleneck (disk-spilling clusters).
+        Neither setting affects index CONTENT — only routing/bytes."""
         self.index_dir = index_dir
         self.analyzed_fields = analyzed_fields or ["text"]
         self.exact_fields = exact_fields or []
@@ -595,17 +839,25 @@ class IndexBuilder:
             return stop_after is not None and stage == stop_after
 
         # stage: docs (document store — the reference's document.db).
-        # Sorted by doc_id within each file: parquet row-group min/max
-        # stats then prune doc_id range scans and point lookups — the
-        # Spark analog of the reference's big-endian key order making
-        # numeric range scans cheap on the LSM
-        # (``engine_test.go:71-174``).  No shuffle: docID assignment
-        # already lays partitions out in doc_id order, so files cover
-        # near-disjoint ranges.
+        # Range-partitioned AND sorted by doc_id: files cover disjoint
+        # doc_id ranges and row groups carry tight min/max stats, so
+        # range scans / point lookups prune — the Spark analog of the
+        # reference's big-endian key order making numeric range scans
+        # cheap on the LSM (``engine_test.go:71-174``).  The range
+        # shuffle doubles as the parallelism spreader: downstream
+        # full-text scans (doc_len, occurrence stream) inherit ≥
+        # nparts splits instead of the input's few big files, which
+        # measurably lifts multi-core utilization of every later
+        # stage (a plain few-file scan capped the 8-core docs/doc_len
+        # stages at ~1.7x over 2 cores).
+        nparts = max(4, 4 * spark.sparkContext.defaultParallelism)
         if not self._stage_done(m, "docs", fp):
-            docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-                self.path("docs")
-            )
+            docs_out = docs
+            if docs.rdd.getNumPartitions() < nparts:
+                docs_out = docs.repartitionByRange(nparts, "doc_id")
+            docs_out.sortWithinPartitions("doc_id").write.mode(
+                "overwrite"
+            ).parquet(self.path("docs"))
             self._mark_stage(m, "docs", fp, rows=n_rows)
         if stop("docs"):
             return
@@ -628,6 +880,7 @@ class IndexBuilder:
                 F.count(F.lit(1)).alias("n_docs"),
                 F.avg("dl").alias("avgdl"),
                 F.sum("dl").alias("total_tokens"),
+                F.max("dl").alias("max_dl"),
             )
             stats.write.mode("overwrite").parquet(self.path("stats"))
             self._mark_stage(m, "stats", fp)
@@ -635,6 +888,7 @@ class IndexBuilder:
             return
         stats_row = spark.read.parquet(self.path("stats")).collect()[0]
         avgdl = float(stats_row["avgdl"])
+        max_dl = int(stats_row["max_dl"])
 
         # stage: blocks (span-aligned, delta+varint, block-max meta).
         # ONE shuffle: the raw occurrence stream range-partitions by
@@ -643,13 +897,11 @@ class IndexBuilder:
         # tf intermediate table.
         if not self._stage_done(m, "blocks", fp):
             span = self.span
-            # 4x overpartition (see nparts below).  The scan packs
-            # small parquet files into few tasks (maxPartitionBytes /
-            # openCostInBytes), which would serialize the CPU-heavy
-            # tokenize+explode map side — spread the doc rows first
-            # when the scan has too few partitions (at real scale the
-            # file splits already exceed nparts and this is a no-op).
-            nparts = max(4, 4 * spark.sparkContext.defaultParallelism)
+            # the docs stage already spread the corpus across ≥nparts
+            # range-partitioned files, so the scan feeds the CPU-heavy
+            # tokenize+explode map side at full parallelism; the
+            # repartition below is a safety net for indexes resumed
+            # from the pre-range-layout format only
             docs_in = docs_t
             if docs_in.rdd.getNumPartitions() < nparts:
                 docs_in = docs_in.repartition(nparts)
@@ -670,13 +922,24 @@ class IndexBuilder:
                     docs_in, self.analyzed_fields, self.exact_fields,
                     n_rows, n_hot=self.n_hot,
                 )
-                if n_rows >= self.hot_dict_min_rows
+                if self.hot_dict_min_rows is not None
+                and n_rows >= self.hot_dict_min_rows
                 else []
             )
             occ = _occurrence_stream(
                 docs_in, self.analyzed_fields, self.exact_fields,
                 include_whole=False, field_codes=field_codes,
             )
+            # HASH partition by the block key, then sort within
+            # partitions: gives the encoder co-located, contiguous
+            # (field, term, span) groups WITHOUT repartitionByRange's
+            # extra sampling pass (which re-runs tokenize+explode over
+            # the whole corpus just to pick boundaries).  The span
+            # component of the key keeps hot-term groups bounded (the
+            # skew salt).  4x overpartition: smaller per-task sorts +
+            # pipelined Arrow/Python encode behind the shuffle
+            # (measured ~2x on the encode step vs 1x parallelism at
+            # 33M rows).
             if vocab:
                 hot_df = spark.createDataFrame(
                     [(t, i) for i, t in enumerate(vocab)],
@@ -700,41 +963,62 @@ class IndexBuilder:
                         "dl",
                     )
                 )
+                arranged = (
+                    coded.repartition(
+                        nparts,
+                        F.col("fid"),
+                        F.col("tcode"),
+                        F.col("term"),
+                        (F.col("doc_id") / span).cast("long"),
+                    )
+                    .sortWithinPartitions("fid", "tcode", "term", "doc_id")
+                    .withColumn("part_id", F.spark_partition_id())
+                )
+                vocab_bc = spark.sparkContext.broadcast(vocab)
+                blocks = arranged.mapInPandas(
+                    coded_carry_encoder(
+                        avgdl=avgdl, span=span, fields=fields, vocab_bc=vocab_bc
+                    ),
+                    schema=BLOCK_SCHEMA,
+                )
             else:
-                coded = occ.select(
-                    "fid", F.lit(-1).alias("tcode"), "term", "doc_id", "dl"
+                # default path: doc_id and dl pack into one int64
+                # when doc lengths fit DL_BITS (measured, not
+                # assumed) — one less column through shuffle + Arrow;
+                # packed is monotonic in doc_id so sorting by it IS
+                # the doc order, and span_id derives from it as an
+                # exchange-only expression.  The Arrow encoder then
+                # processes batches with zero per-row Python objects.
+                dl_bits = DL_BITS if max_dl < (1 << DL_BITS) else None
+                if dl_bits is not None:
+                    stream = occ.select(
+                        "fid",
+                        "term",
+                        (
+                            F.col("doc_id") * F.lit(1 << dl_bits) + F.col("dl")
+                        ).alias("packed"),
+                    )
+                    span_expr = (
+                        F.col("packed") / F.lit(span * (1 << dl_bits))
+                    ).cast("long")
+                    sort_cols = ["fid", "term", "packed"]
+                else:
+                    stream = occ
+                    span_expr = (F.col("doc_id") / span).cast("long")
+                    sort_cols = ["fid", "term", "doc_id"]
+                arranged = (
+                    stream.repartition(
+                        nparts, F.col("fid"), F.col("term"), span_expr
+                    )
+                    .sortWithinPartitions(*sort_cols)
+                    .withColumn("part_id", F.spark_partition_id())
                 )
-            # HASH partition by the block key, then sort within
-            # partitions: gives the encoder co-located, contiguous
-            # (field, term, span) groups WITHOUT repartitionByRange's
-            # extra sampling pass (which re-runs tokenize+explode over
-            # the whole corpus just to pick boundaries).  The span
-            # component of the key keeps hot-term groups bounded (the
-            # skew salt).  Each output file is still term-sorted
-            # internally, so parquet row-group min/max stats keep
-            # pruning term lookups.  4x overpartition: smaller
-            # per-task sorts + pipelined Arrow/Python encode behind
-            # the shuffle (measured ~2x on the encode step vs 1x
-            # parallelism at 33M rows).
-            arranged = (
-                coded.repartition(
-                    nparts,
-                    F.col("fid"),
-                    F.col("tcode"),
-                    F.col("term"),
-                    (F.col("doc_id") / span).cast("long"),
+                blocks = arranged.mapInArrow(
+                    arrow_carry_encoder(
+                        avgdl=avgdl, span=span, fields=fields, dl_bits=dl_bits
+                    ),
+                    schema=BLOCK_SCHEMA,
                 )
-                .sortWithinPartitions("fid", "tcode", "term", "doc_id")
-                .withColumn("part_id", F.spark_partition_id())
-            )
-
-            vocab_bc = spark.sparkContext.broadcast(vocab)
-            blocks = arranged.mapInPandas(
-                coded_carry_encoder(
-                    avgdl=avgdl, span=span, fields=fields, vocab_bc=vocab_bc
-                ),
-                schema=BLOCK_SCHEMA,
-            )
             # two-step write: stage the hash-layout encode output,
             # then range-repartition the (compressed, ~50x smaller
             # than the occurrence stream) blocks by term so the final
@@ -756,17 +1040,24 @@ class IndexBuilder:
             # parallelism.  Every reader (decode, WAND bounds,
             # terms-df aggregation) is additive over blocks, so
             # per-doc blocks are semantically identical to merged
-            # ones.
+            # ones.  Materialized INTO staging so the range pass
+            # below samples parquet instead of re-running the
+            # tokenize lineage (the sampler executes its input twice).
             ws = (
                 _whole_string_stream(docs_in, self.analyzed_fields)
                 .withColumn("part_id", F.spark_partition_id())
-                .mapInPandas(
-                    singleton_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
+                .mapInArrow(
+                    arrow_singleton_encoder(avgdl=avgdl, span=span),
+                    schema=BLOCK_SCHEMA,
                 )
             )
+            ws.write.mode("append").parquet(staging)
+            # second cheap range-repartition over the ~50x-compressed
+            # blocks so final files cover DISJOINT term ranges — a
+            # query's term predicate prunes to 1-2 files via footer
+            # min/max instead of scanning every file
             (
                 spark.read.parquet(staging)
-                .unionByName(ws)
                 .repartitionByRange(nparts, "field", "term", "span_id")
                 .sortWithinPartitions("field", "term", "span_id")
                 .write.mode("overwrite")
@@ -780,11 +1071,14 @@ class IndexBuilder:
         blocks_t = spark.read.parquet(self.path("blocks"))
 
         # stage: terms (per-term df/cf + global max block score bound).
-        # The term dictionary is range-partitioned and sorted by
-        # (field, term) — files cover disjoint term ranges and row
-        # groups are small, so a per-query term lookup prunes to ~one
-        # row group via parquet min/max stats (the LSM "sorted term
-        # dictionary" property, engine_test.go:71-174 analog).
+        # ONE shuffle (the groupBy); each output file is then sorted
+        # by (field, term) with 1 MB row groups, so a per-query term
+        # lookup prunes to ~one row group PER FILE via parquet min/max
+        # stats (the LSM "sorted term dictionary" property,
+        # engine_test.go:71-174 analog).  A second repartitionByRange
+        # would make files disjoint too, but costs a full extra
+        # shuffle + sampling pass per build for a table only the
+        # hot-query fallback reads — measured not worth it.
         if not self._stage_done(m, "terms", fp):
             terms = (
                 blocks_t.groupBy("field", "term")
@@ -792,11 +1086,6 @@ class IndexBuilder:
                     F.sum("n_docs").cast("long").alias("df"),
                     F.max("max_tf_norm").alias("max_tf_norm"),
                     F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                )
-                .repartitionByRange(
-                    max(4, spark.sparkContext.defaultParallelism),
-                    "field",
-                    "term",
                 )
                 .sortWithinPartitions("field", "term")
             )

@@ -157,6 +157,7 @@ def delete_docs(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
+        F.max("dl").alias("max_dl"),
     )
     stats_tmp = os.path.join(index_dir, "stats") + "_tmp"
     stats.write.mode("overwrite").parquet(stats_tmp)

@@ -43,6 +43,14 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
+        # text tokenization is CPU-heavy: split scans at ~16 MB (not
+        # the 128 MB default) so a handful of medium parquet files
+        # still feeds every core — the map side of the build would
+        # otherwise serialize on a few big splits.  At real scale the
+        # split count is huge either way; this only matters when
+        # files-per-stage ~ core count.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
