@@ -65,7 +65,7 @@ B = 0.75
 DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 7
+INDEX_FORMAT_VERSION = 8
 
 # doc_id and dl pack into ONE shuffled int64 (doc_id << DL_BITS | dl)
 # when every doc length fits DL_BITS — one less column through the
@@ -599,6 +599,65 @@ def arrow_singleton_encoder(avgdl: float, span: int):
     return encode
 
 
+def term_bucket_expr(col: F.Column, boundaries: list[str]) -> F.Column:
+    """bucket(term) = #{b in boundaries : b <= term} as a BALANCED
+    comparison tree (depth log2(#boundaries), whole-stage codegen'd —
+    no per-row Python, no UDF).  Spark compares strings in UTF-8 byte
+    order, which equals code-point order, which equals Python ``str``
+    order — so ``bisect.bisect_right(boundaries, term)`` computes the
+    identical bucket driver-side (query pruning)."""
+
+    def tree(lo: int, hi: int) -> F.Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(col < F.lit(boundaries[mid]), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    return tree(0, len(boundaries)).alias("bucket")
+
+
+def sample_term_boundaries(
+    docs: DataFrame,
+    analyzed_fields: list[str],
+    exact_fields: list[str],
+    n_rows: int,
+    n_buckets: int,
+    sample_rows: int = 100_000,
+) -> list[str]:
+    """Occurrence-weighted term quantiles from a small doc sample —
+    the range boundaries for the bucketed block layout.  One cheap
+    job over ≤sample_rows docs replaces repartitionByRange's sampling
+    pass over the full (expensive, encoder-bearing) lineage.  An
+    imperfect sample only skews bucket SIZES, never correctness:
+    bucket membership is a pure function of (boundaries, term), and
+    both the build and every query compute it from the same manifest-
+    persisted list."""
+    if n_buckets <= 1:
+        return []
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    sample = docs.sample(fraction=frac, seed=42) if frac < 1.0 else docs
+    occ = _occurrence_stream(
+        sample, analyzed_fields, exact_fields, include_whole=True
+    )
+    # second-level sample keeps the driver collect ~30k strings
+    terms = [
+        r["term"]
+        for r in occ.select("term").sample(
+            fraction=min(1.0, 30_000 / max(n_rows * 20 * frac, 1)), seed=7
+        ).collect()
+    ]
+    if len(terms) < n_buckets:
+        terms = [r["term"] for r in occ.select("term").collect()]
+    terms.sort()
+    if not terms:
+        return []
+    step = len(terms) / n_buckets
+    bounds = sorted({terms[int(i * step)] for i in range(1, n_buckets)})
+    return bounds
+
+
 def hot_terms(
     docs: DataFrame,
     analyzed_fields: list[str],
@@ -736,6 +795,7 @@ class IndexBuilder:
         span: int = DEFAULT_SPAN,
         hot_dict_min_rows: int | None = None,
         n_hot: int = 65536,
+        n_buckets: int = 32,
     ):
         """hot_dict_min_rows: corpora at or above this row count use
         the hot-term shuffle dictionary; None (default) disables it.
@@ -754,6 +814,12 @@ class IndexBuilder:
         self.span = span
         self.hot_dict_min_rows = hot_dict_min_rows
         self.n_hot = n_hot
+        # bucketed block layout: n_buckets term-range directories.
+        # Pruning factor for point lookups is ~n_buckets; file count
+        # per build is O(tasks × n_buckets) — at cluster scale raise
+        # buckets with the cluster, not with the data (lookup cost is
+        # per-bucket, independent of corpus size).
+        self.n_buckets = n_buckets
 
     # --- manifest -------------------------------------------------
     @property
@@ -813,6 +879,7 @@ class IndexBuilder:
                 os.remove(self.manifest_path)
         m = self._load_manifest()
         self._stage_t0 = time.time()
+        prior_params = m.get("params", {})
         m["params"] = {
             "analyzed_fields": self.analyzed_fields,
             "exact_fields": self.exact_fields,
@@ -820,6 +887,10 @@ class IndexBuilder:
             "k1": K1,
             "b": B,
         }
+        # boundaries are (re)computed in the blocks stage; on resume
+        # with that stage skipped, the persisted list must survive
+        if "bucket_boundaries" in prior_params:
+            m["params"]["bucket_boundaries"] = prior_params["bucket_boundaries"]
 
         # resume trusts the persisted doc store for the row count
         # (metadata-only parquet count) instead of re-scanning the
@@ -839,23 +910,23 @@ class IndexBuilder:
             return stop_after is not None and stage == stop_after
 
         # stage: docs (document store — the reference's document.db).
-        # Range-partitioned AND sorted by doc_id: files cover disjoint
-        # doc_id ranges and row groups carry tight min/max stats, so
-        # range scans / point lookups prune — the Spark analog of the
-        # reference's big-endian key order making numeric range scans
-        # cheap on the LSM (``engine_test.go:71-174``).  The range
-        # shuffle doubles as the parallelism spreader: downstream
-        # full-text scans (doc_len, occurrence stream) inherit ≥
-        # nparts splits instead of the input's few big files, which
-        # measurably lifts multi-core utilization of every later
-        # stage (a plain few-file scan capped the 8-core docs/doc_len
-        # stages at ~1.7x over 2 cores).
-        nparts = max(4, 4 * spark.sparkContext.defaultParallelism)
+        # Sorted by doc_id within each file: row groups carry tight
+        # min/max stats, so range scans / point lookups prune — the
+        # Spark analog of the reference's big-endian key order making
+        # numeric range scans cheap on the LSM
+        # (``engine_test.go:71-174``).  No shuffle: docID assignment
+        # already lays partitions out in doc_id order, so files cover
+        # near-disjoint ranges, and the 16 MB scan-split size
+        # (session.py) keeps downstream full-text scans parallel even
+        # over a handful of files.  (A repartitionByRange here was
+        # measured a net loss: the full-text shuffle cost more than
+        # the layout gained.)
+        import os as _os
+
+        overpart = int(_os.environ.get("SPARK_GRAFT_OVERPARTITION", "4"))
+        nparts = max(4, overpart * spark.sparkContext.defaultParallelism)
         if not self._stage_done(m, "docs", fp):
-            docs_out = docs
-            if docs.rdd.getNumPartitions() < nparts:
-                docs_out = docs.repartitionByRange(nparts, "doc_id")
-            docs_out.sortWithinPartitions("doc_id").write.mode(
+            docs.sortWithinPartitions("doc_id").write.mode(
                 "overwrite"
             ).parquet(self.path("docs"))
             self._mark_stage(m, "docs", fp, rows=n_rows)
@@ -897,14 +968,22 @@ class IndexBuilder:
         # tf intermediate table.
         if not self._stage_done(m, "blocks", fp):
             span = self.span
-            # the docs stage already spread the corpus across ≥nparts
-            # range-partitioned files, so the scan feeds the CPU-heavy
-            # tokenize+explode map side at full parallelism; the
-            # repartition below is a safety net for indexes resumed
-            # from the pre-range-layout format only
+            # the 16 MB scan splits feed the CPU-heavy tokenize+
+            # explode map side at full parallelism; the repartition
+            # below is a safety net for pathologically few splits
+            # (single giant file) only
             docs_in = docs_t
-            if docs_in.rdd.getNumPartitions() < nparts:
+            if docs_in.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
                 docs_in = docs_in.repartition(nparts)
+            # range boundaries for the bucketed block layout: one
+            # cheap sampled job; persisted in the manifest so every
+            # query computes the identical bucket driver-side
+            boundaries = sample_term_boundaries(
+                docs_in, self.analyzed_fields, self.exact_fields,
+                n_rows, n_buckets=self.n_buckets,
+            )
+            m["params"]["bucket_boundaries"] = boundaries
+            bucket_of = lambda c: term_bucket_expr(c, boundaries)  # noqa: E731
             # Shuffle-row shrink: field rides as a byte code, span_id
             # is an exchange-only expression (recomputed from doc_id
             # post-shuffle), and the top-n_hot terms (by a sampled
@@ -1019,30 +1098,16 @@ class IndexBuilder:
                     ),
                     schema=BLOCK_SCHEMA,
                 )
-            # two-step write: stage the hash-layout encode output,
-            # then range-repartition the (compressed, ~50x smaller
-            # than the occurrence stream) blocks by term so the final
-            # files cover DISJOINT term ranges — a query's term
-            # predicate then prunes to 1-2 files via footer min/max
-            # instead of scanning every file.  Sampling for the range
-            # boundaries runs over the staged parquet, not the
-            # expensive encode lineage.  Small row groups sharpen
-            # intra-file pruning.
-            staging = self.path("blocks") + "_stage0"
-            blocks.write.mode("overwrite").parquet(staging)
-
             # whole-string extra terms (index.go:546-553) bypass the
             # occurrence shuffle entirely: they are ~100 B each (half
             # the shuffle bytes) and a doc indexes its whole string
             # exactly once, so each row encodes directly into its own
-            # singleton block — no shuffle, no sort, and the index
-            # content stays a pure function of the data at any
+            # singleton block — no occurrence-stream shuffle, and the
+            # index content stays a pure function of the data at any
             # parallelism.  Every reader (decode, WAND bounds,
             # terms-df aggregation) is additive over blocks, so
             # per-doc blocks are semantically identical to merged
-            # ones.  Materialized INTO staging so the range pass
-            # below samples parquet instead of re-running the
-            # tokenize lineage (the sampler executes its input twice).
+            # ones.
             ws = (
                 _whole_string_stream(docs_in, self.analyzed_fields)
                 .withColumn("part_id", F.spark_partition_id())
@@ -1051,20 +1116,28 @@ class IndexBuilder:
                     schema=BLOCK_SCHEMA,
                 )
             )
-            ws.write.mode("append").parquet(staging)
-            # second cheap range-repartition over the ~50x-compressed
-            # blocks so final files cover DISJOINT term ranges — a
-            # query's term predicate prunes to 1-2 files via footer
-            # min/max instead of scanning every file
+            # ONE write, bucket-partitioned: encoder output + ws
+            # singletons flow through a single cheap hash-on-bucket
+            # exchange of the ~50x-compressed blocks (no staging
+            # write/re-read, and — unlike repartitionByRange — no
+            # sampling pass that would re-run the expensive lineage),
+            # then land in bucket=<k>/ subdirectories, ~one sorted
+            # file per bucket.  A query's term maps to its bucket
+            # DRIVER-side (bisect over the manifest boundaries), so
+            # lookups prune at the DIRECTORY level — stronger than
+            # footer-min/max pruning — and each file stays
+            # (field, term, span)-sorted for row-group pruning
+            # inside the bucket.
             (
-                spark.read.parquet(staging)
-                .repartitionByRange(nparts, "field", "term", "span_id")
+                blocks.unionByName(ws)
+                .withColumn("bucket", bucket_of(F.col("term")))
+                .repartition(max(self.n_buckets, 1), "bucket")
                 .sortWithinPartitions("field", "term", "span_id")
                 .write.mode("overwrite")
                 .option("parquet.block.size", 8 * 1024 * 1024)
+                .partitionBy("bucket")
                 .parquet(self.path("blocks"))
             )
-            shutil.rmtree(staging)
             self._mark_stage(m, "blocks", fp)
         if stop("blocks"):
             return
@@ -1081,7 +1154,7 @@ class IndexBuilder:
         # hot-query fallback reads — measured not worth it.
         if not self._stage_done(m, "terms", fp):
             terms = (
-                blocks_t.groupBy("field", "term")
+                blocks_t.groupBy("bucket", "field", "term")
                 .agg(
                     F.sum("n_docs").cast("long").alias("df"),
                     F.max("max_tf_norm").alias("max_tf_norm"),
@@ -1091,7 +1164,7 @@ class IndexBuilder:
             )
             terms.write.mode("overwrite").option(
                 "parquet.block.size", 1024 * 1024
-            ).parquet(self.path("terms"))
+            ).partitionBy("bucket").parquet(self.path("terms"))
             self._mark_stage(m, "terms", fp)
         if stop("terms"):
             return

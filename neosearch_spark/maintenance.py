@@ -92,31 +92,39 @@ def swap_tables(index_dir: str, pairs: list[tuple[str, str]], op: str,
 
 def _explode_blocks_stream(blocks: DataFrame) -> DataFrame:
     """Decode blocks back to the (field, term, doc_id, tf, dl)
-    stream, fully vectorized (batch-concatenated varint decode —
-    same pattern as query._decode; per-block Python only to slice)."""
-    from .codec import decode_postings, decode_tfs
+    stream, fully vectorized: all block buffers in an Arrow batch are
+    concatenated and varint-decoded ONCE (buffers self-delimit), then
+    the per-block delta chains are rebased with one cumsum + repeat —
+    the same pattern as query._decode, no per-block Python loop."""
+    from .codec import _varint_decode
 
     def explode(it):
         for pdf in it:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids = decode_postings(row.docs_enc)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "field": np.repeat(row.field, len(ids)),
-                            "term": np.repeat(row.term, len(ids)),
-                            "doc_id": ids.astype(np.int64),
-                            "tf": decode_tfs(row.tfs_enc).astype(np.int64),
-                            "dl": decode_tfs(row.dls_enc).astype(np.int64),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            n_docs = pdf["n_docs"].to_numpy(dtype=np.int64)
+            deltas = _varint_decode(b"".join(pdf["docs_enc"].tolist()))
+            cum = np.cumsum(deltas.astype(np.int64))
+            starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+            base = np.repeat(
+                cum[starts] - deltas[starts].astype(np.int64), n_docs
+            )
+            yield pd.DataFrame(
+                {
+                    "field": np.repeat(pdf["field"].to_numpy(), n_docs),
+                    "term": np.repeat(pdf["term"].to_numpy(), n_docs),
+                    "doc_id": cum - base,
+                    "tf": _varint_decode(
+                        b"".join(pdf["tfs_enc"].tolist())
+                    ).astype(np.int64),
+                    "dl": _varint_decode(
+                        b"".join(pdf["dls_enc"].tolist())
+                    ).astype(np.int64),
+                }
+            )
 
     return blocks.select(
-        "field", "term", "docs_enc", "tfs_enc", "dls_enc"
+        "field", "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc"
     ).mapInPandas(
         explode,
         schema="field string, term string, doc_id long, tf long, dl long",
@@ -135,11 +143,12 @@ def delete_docs(
 
     Idempotent: deleting already-absent ids rewrites the touched
     spans to identical content."""
-    from .build import BLOCK_SCHEMA, carry_encoder
+    from .build import BLOCK_SCHEMA, carry_encoder, term_bucket_expr
 
     m = _load_manifest(index_dir)
     check_not_torn(m, index_dir)
     span = int(m["params"]["span"])
+    boundaries = m["params"].get("bucket_boundaries", [])
 
     ids = ids.select(F.col("doc_id").cast("long")).distinct()
     n_deleted = ids.count()
@@ -184,27 +193,33 @@ def delete_docs(
     )
     rebuilt = arranged.mapInPandas(
         carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
-    )
+    ).withColumn("bucket", term_bucket_expr(F.col("term"), boundaries))
     blocks_tmp = os.path.join(index_dir, "blocks") + "_tmp"
     n_touched_blocks = touched.count()
-    untouched.unionByName(rebuilt).write.mode("overwrite").option(
-        "parquet.block.size", 8 * 1024 * 1024
-    ).parquet(blocks_tmp)
+    (
+        untouched.unionByName(rebuilt)
+        .repartition(max(len(boundaries) + 1, 1), "bucket")
+        .sortWithinPartitions("field", "term", "span_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .partitionBy("bucket")
+        .parquet(blocks_tmp)
+    )
 
     # --- terms: re-aggregate from the new blocks
     terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
     (
         spark.read.parquet(blocks_tmp)
-        .groupBy("field", "term")
+        .groupBy("bucket", "field", "term")
         .agg(
             F.sum("n_docs").cast("long").alias("df"),
             F.max("max_tf_norm").alias("max_tf_norm"),
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
         )
-        .repartitionByRange(nparts, "field", "term")
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .option("parquet.block.size", 1024 * 1024)
+        .partitionBy("bucket")
         .parquet(terms_tmp)
     )
 

@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import bisect
 import json
 import math
 import os
@@ -64,6 +65,11 @@ class SparkIndex:
         check_not_torn(self.manifest, index_dir)
         p = self.manifest["params"]
         self.span = int(p["span"])
+        # bucketed block layout (build.py): term → bucket directory,
+        # computed driver-side with the SAME ordering semantics as
+        # the build's codegen'd boundary tree (UTF-8 byte order ==
+        # code-point order == Python str order)
+        self.bucket_boundaries: list[str] = p.get("bucket_boundaries", [])
         stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -140,11 +146,38 @@ class SparkIndex:
             cols += ["tfs_enc", "dls_enc"]
         return blocks.select(*cols).mapInPandas(dec, schema=schema)
 
+    # ---------------- bucket pruning ----------------
+
+    def _bucket_of(self, term: str) -> int:
+        return bisect.bisect_right(self.bucket_boundaries, term)
+
+    def _bucket_terms(self, df: DataFrame, terms: list[str]) -> DataFrame:
+        """Directory-level pruning: restrict a blocks/terms scan to
+        the bucket partitions that can contain the given terms."""
+        if not self.bucket_boundaries:
+            return df
+        bs = sorted({self._bucket_of(t) for t in terms})
+        return df.where(F.col("bucket").isin(bs))
+
+    def _bucket_prefix(self, df: DataFrame, prefix: str) -> DataFrame:
+        """Bucket interval covering every term with the prefix: lo =
+        bucket(prefix) (prefixed terms are ≥ prefix); hi counts the
+        boundaries whose first len(prefix) chars are ≤ prefix (a
+        prefixed term can exceed a boundary only if the boundary's
+        truncation doesn't sort above the prefix)."""
+        if not self.bucket_boundaries:
+            return df
+        lo = self._bucket_of(prefix)
+        hi = sum(1 for b in self.bucket_boundaries if b[: len(prefix)] <= prefix)
+        return df.where(F.col("bucket").between(lo, hi))
+
     # ---------------- boolean surface (reference parity) ----------------
 
     def term_docs(self, term: str, field: str = "text") -> DataFrame:
         """FilterTermID analog (``filter.go:10-42``): docID-ascending."""
-        b = self.blocks.where((F.col("field") == field) & (F.col("term") == term))
+        b = self._bucket_terms(self.blocks, [term]).where(
+            (F.col("field") == field) & (F.col("term") == term)
+        )
         return self._decode(b).select("doc_id").orderBy("doc_id")
 
     def and_docs(self, terms: list[str], field: str = "text") -> DataFrame:
@@ -160,7 +193,7 @@ class SparkIndex:
     def or_docs(self, terms: list[str], field: str = "text") -> DataFrame:
         """Documented union OR (PROPOSAL.md:230-235; reference's $or
         is broken — SURVEY §2.11.1)."""
-        b = self.blocks.where(
+        b = self._bucket_terms(self.blocks, terms).where(
             (F.col("field") == field) & F.col("term").isin(terms)
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
@@ -193,7 +226,7 @@ class SparkIndex:
     def prefix_docs(self, prefix: str, field: str = "text") -> DataFrame:
         """MatchPrefix analog (``filter.go:67-118``), normalized to
         docID-ascending (divergence §2.11.3)."""
-        b = self.blocks.where(
+        b = self._bucket_prefix(self.blocks, prefix).where(
             (F.col("field") == field) & F.col("term").startswith(prefix)
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
@@ -214,7 +247,7 @@ class SparkIndex:
         span_id interval, so only blocks overlapping it are even
         scanned (the posting-side analog of the numeric `.idx`
         key-order scan the reference gets from big-endian keys)."""
-        b = self.blocks.where(
+        b = self._bucket_terms(self.blocks, [term]).where(
             (F.col("field") == field)
             & (F.col("term") == term)
             & F.col("span_id").between(lo // self.span, hi // self.span)
@@ -242,10 +275,10 @@ class SparkIndex:
         """Per-term idf plus the total block/posting counts for the
         query terms (free from the terms table — drives the
         local/distributed/prune path decision without an extra job)."""
+        uniq_terms = list(set(qterms))
         rows = (
-            self.terms.where(
-                (F.col("field") == field) & F.col("term").isin(list(set(qterms)))
-            )
+            self._bucket_terms(self.terms, uniq_terms)
+            .where((F.col("field") == field) & F.col("term").isin(uniq_terms))
             .select("term", "df", "n_blocks")
             .collect()
         )
@@ -416,7 +449,7 @@ class SparkIndex:
         pushed-down term predicate), and the path-selection knobs."""
         qterms = analyze_query(query)
         uniq = list(dict.fromkeys(qterms))
-        blocks_q = self.blocks.where(
+        blocks_q = self._bucket_terms(self.blocks, uniq).where(
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
         plan = (
@@ -456,7 +489,7 @@ class SparkIndex:
         if not qterms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         uniq = list(dict.fromkeys(qterms))
-        blocks_q = self.blocks.where(
+        blocks_q = self._bucket_terms(self.blocks, uniq).where(
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
 

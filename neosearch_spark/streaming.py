@@ -87,11 +87,6 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
     groups."""
     import json
 
-    import numpy as np
-    import pandas as pd
-
-    from .codec import decode_postings, decode_tfs
-
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     span = span or int(manifest["params"]["span"])
@@ -129,34 +124,12 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
     )
     touched = delta_k.select("field", "term", "span_id").distinct()
 
-    # decode touched base blocks back to the tf stream
+    # decode touched base blocks back to the tf stream (vectorized
+    # batch-concatenated decode, shared with maintenance.delete_docs)
+    from .maintenance import _explode_blocks_stream
+
     touched_base = base.join(touched, ["field", "term", "span_id"])
-
-    def explode_blocks(it):
-        for pdf in it:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids = decode_postings(row.docs_enc)
-                tfs = decode_tfs(row.tfs_enc)
-                dls = decode_tfs(row.dls_enc)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "field": np.repeat(row.field, len(ids)),
-                            "term": np.repeat(row.term, len(ids)),
-                            "doc_id": ids,
-                            "tf": tfs,
-                            "dl": dls,
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-                {"field": [], "term": [], "doc_id": [], "tf": [], "dl": []}
-            )
-
-    base_tf = touched_base.mapInPandas(
-        explode_blocks, schema="field string, term string, doc_id long, tf long, dl long"
-    )
+    base_tf = _explode_blocks_stream(touched_base)
     # append-only ingest assumed: base and delta doc sets are disjoint
     merged_tf = (
         base_tf.unionByName(delta_k.select("field", "term", "doc_id", "tf", "dl"))
@@ -172,34 +145,40 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
         .withColumn("part_id", F.spark_partition_id())
     )
 
-    from .build import BLOCK_SCHEMA, carry_encoder
+    from .build import BLOCK_SCHEMA, carry_encoder, term_bucket_expr
 
+    boundaries = manifest["params"].get("bucket_boundaries", [])
     rebuilt = arranged.mapInPandas(
         carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
-    )
+    ).withColumn("bucket", term_bucket_expr(F.col("term"), boundaries))
     untouched = base.join(touched, ["field", "term", "span_id"], "left_anti")
     new_blocks = untouched.unionByName(rebuilt)
 
     import shutil
 
     blocks_tmp = blocks_path + "_tmp"
-    new_blocks.write.mode("overwrite").parquet(blocks_tmp)
+    (
+        new_blocks.repartition(max(len(boundaries) + 1, 1), "bucket")
+        .sortWithinPartitions("field", "term", "span_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(blocks_tmp)
+    )
 
     terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
     terms = (
         spark.read.parquet(blocks_tmp)
-        .groupBy("field", "term")
+        .groupBy("bucket", "field", "term")
         .agg(
             F.sum("n_docs").cast("long").alias("df"),
             F.max("max_tf_norm").alias("max_tf_norm"),
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
         )
-        .repartitionByRange(nparts, "field", "term")
         .sortWithinPartitions("field", "term")
     )
     terms.write.mode("overwrite").option(
         "parquet.block.size", 1024 * 1024
-    ).parquet(terms_tmp)
+    ).partitionBy("bucket").parquet(terms_tmp)
 
     n_touched = touched.count()
 

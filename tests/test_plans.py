@@ -113,3 +113,29 @@ def test_explain_query_dry_run_no_jobs(idx):
     assert out["query_terms"] == ["tok1", "tok2"]
     assert "PushedFilters" in out["block_scan_plan"]
     assert "tok1" in out["block_scan_plan"]
+
+
+def test_bucket_partition_pruning(idx):
+    # bucketed block layout: a term lookup restricts the scan to its
+    # bucket DIRECTORY (partition pruning), visible as a bucket
+    # predicate in the scan's partition filters
+    assert idx.bucket_boundaries, "index should carry bucket boundaries"
+    df = idx.term_docs("tok1")
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # driver-side bucket must match the build's codegen'd tree
+    from neosearch_spark.build import term_bucket_expr
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    some_terms = [r["term"] for r in idx.terms.select("term").limit(200).collect()]
+    got = (
+        spark.createDataFrame([(t,) for t in some_terms], "term string")
+        .select("term", term_bucket_expr(F.col("term"), idx.bucket_boundaries))
+        .collect()
+    )
+    for r in got:
+        assert r["bucket"] == idx._bucket_of(r["term"]), r["term"]
