@@ -394,19 +394,15 @@ class SparkIndex:
         }
 
     def _topk_df(self, rows: list[tuple[int, float]]) -> DataFrame:
-        """Pre-sorted driver-side top-k rows → 1-partition DataFrame.
+        """Pre-sorted driver-side top-k rows → DataFrame.
 
-        ``orderBy`` on a tiny DataFrame costs a range-partitioner
-        sampling job (+0.8s/query measured), and ``coalesce(1)`` over
-        the default 32 local slices fetches each slice separately
-        (+5s!).  ``repartition(1)`` + ``sortWithinPartitions`` gives
-        an explicit single-partition sort — identical global order,
-        one cheap job (~0.4s)."""
-        return (
-            self.spark.createDataFrame(rows, "doc_id long, score double")
-            .repartition(1)
-            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
-        )
+        The rows arrive ALREADY in (score desc, doc_id asc) order, so
+        no Spark-side sort is needed at all: ``collect`` concatenates
+        partitions in order, preserving the input sequence.  Any
+        explicit re-sort costs a job per query (``orderBy`` adds a
+        range-sampling pass, ``repartition(1)`` a shuffle,
+        ``coalesce(1)`` per-slice fetches — all measured slower)."""
+        return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _score_local(
         self, rows: list, qterms: list[str], idf: dict, k: int
