@@ -398,11 +398,15 @@ class SparkIndex:
 
         The rows arrive ALREADY in (score desc, doc_id asc) order, so
         no Spark-side sort is needed at all: ``collect`` concatenates
-        partitions in order, preserving the input sequence.  Any
-        explicit re-sort costs a job per query (``orderBy`` adds a
-        range-sampling pass, ``repartition(1)`` a shuffle,
-        ``coalesce(1)`` per-slice fetches — all measured slower)."""
-        return self.spark.createDataFrame(rows, "doc_id long, score double")
+        partitions in order, preserving the input sequence.  ONE
+        slice, explicitly: the default createDataFrame splits even 10
+        rows across defaultParallelism slices, making every
+        materialization a 32-task job (+0.4 s/query measured); a
+        single-slice RDD makes it one task.  Any explicit re-sort
+        would cost yet another job (orderBy adds a range-sampling
+        pass, repartition(1) a shuffle — all measured slower)."""
+        rdd = self.spark.sparkContext.parallelize(rows or [], 1)
+        return self.spark.createDataFrame(rdd, "doc_id long, score double")
 
     def _score_local(
         self, rows: list, qterms: list[str], idf: dict, k: int
