@@ -47,6 +47,9 @@ TOKS = (
 )
 
 BM25_Q = ["vector", "join", "hash"]
+# batch-serving gate: 3 queries, one Spark job (query.bm25_topk_batch)
+BATCH_QUERIES = [" ".join(BM25_Q), "vector", "hash join"]
+BATCH_QTERMS = [BM25_Q, ["vector"], ["hash", "join"]]
 K1, B = 1.2, 0.75
 
 
@@ -208,6 +211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idx_exact_field"] = lambda s, d: _doc_index(s, d).term_docs("fr", field="lang")
     q["idx_bm25_topk"] = lambda s, d: _doc_index(s, d).bm25_topk(
         " ".join(BM25_Q), k=10, prune=True
+    ).withColumn("score", F.round(F.col("score"), 6))
+    # batch multi-query serving path: 3 queries, ONE pushed-down scan
+    q["idx_bm25_batch"] = lambda s, d: _doc_index(s, d).bm25_topk_batch(
+        BATCH_QUERIES, k=10
     ).withColumn("score", F.round(F.col("score"), 6))
     q["fts_xor"] = lambda s, d: fts.xor_docs(_docs(s, d), ["vector"], ["join"])
     q["idx_xor"] = lambda s, d: _doc_index(s, d).xor_docs(["vector"], ["join"])
@@ -431,6 +438,10 @@ UNION (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a)) ORDER BY doc_id"""
     o["idx_prefix"] = o["fts_prefix"]
     o["idx_exact_field"] = o["fts_exact_field"]
     o["idx_bm25_topk"] = o["fts_bm25_topk"]
+    o["idx_bm25_batch"] = " UNION ALL ".join(
+        f"SELECT {qi} AS query_id, doc_id, score FROM ({_bm25_sql(qt, 10)})"
+        for qi, qt in enumerate(BATCH_QTERMS)
+    )
     o["idx_xor"] = o["fts_xor"]
 
     o["idx_range_docs"] = (

@@ -65,7 +65,20 @@ B = 0.75
 DEFAULT_SPAN = 131072
 # bump when the on-disk layout or build semantics change — part of
 # the stage fingerprint so stale cached indexes never resume
-INDEX_FORMAT_VERSION = 8
+INDEX_FORMAT_VERSION = 9
+
+# The doc store (and the streamed doc_len_extra table) partition by
+# doc_part = doc_id // docs_span so maintenance can overwrite ONLY
+# the doc-range directories containing touched docs (the parquet
+# stand-in for an Iceberg partition overwrite).  docs_span grows
+# with the corpus so the directory count stays bounded:
+# ceil(n_docs / docs_span) ≤ MAX_DOC_PARTS.
+MAX_DOC_PARTS = 256
+
+
+def doc_part_span(n_rows: int, span: int) -> int:
+    """Partition width for the doc store's doc_part directories."""
+    return span * max(1, -(-n_rows // (span * MAX_DOC_PARTS)))
 
 # doc_id and dl pack into ONE shuffled int64 (doc_id << DL_BITS | dl)
 # when every doc length fits DL_BITS — one less column through the
@@ -80,6 +93,16 @@ BLOCK_SCHEMA = (
     "docs_enc binary, tfs_enc binary, dls_enc binary, max_tf double, "
     "max_tf_norm double, enc_avgdl double, part_id int"
 )
+
+
+def _with_dl(docs: DataFrame, analyzed_fields: list[str]) -> DataFrame:
+    """Attach the BM25 document length.  The persisted doc store
+    carries ``dl`` as a stored column (computed once, during the docs
+    stage write) — reuse it; otherwise (raw input, streaming batches)
+    compute it from the primary analyzed field."""
+    if "dl" in docs.columns:
+        return docs
+    return docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
 
 
 def _occurrence_stream(
@@ -109,7 +132,7 @@ def _occurrence_stream(
     those through a shuffle-free side path (``_whole_string_stream``)
     because they are long (~100 B vs ~8 B tokens — half the shuffle
     bytes) and almost always df=1."""
-    with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
+    with_dl = _with_dl(docs, analyzed_fields)
 
     def fcol(f: str) -> F.Column:
         if field_codes is None:
@@ -172,7 +195,7 @@ def _whole_string_stream(docs: DataFrame, analyzed_fields: list[str]) -> DataFra
     """(field, term, doc_id, dl) rows for the whole-string extra term
     of multi-token values (reference ``index.go:546-553``); array
     fields contribute one whole-string term per multi-token element."""
-    with_dl = docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
+    with_dl = _with_dl(docs, analyzed_fields)
     parts = []
     for f in analyzed_fields:
         if _is_array_field(docs, f):
@@ -649,7 +672,13 @@ def sample_term_boundaries(
         ).collect()
     ]
     if len(terms) < n_buckets:
-        terms = [r["term"] for r in occ.select("term").collect()]
+        # tiny-corpus fallback (sample produced fewer terms than
+        # buckets): bounded — distinct + limit, never an unbounded
+        # pull of every occurrence of the doc sample
+        terms = [
+            r["term"]
+            for r in occ.select("term").distinct().limit(64 * n_buckets).collect()
+        ]
     terms.sort()
     if not terms:
         return []
@@ -785,7 +814,7 @@ class IndexBuilder:
     checkpoint-resume (stage manifests + per-partition counters —
     north_rule)."""
 
-    STAGES = ["docs", "doc_len", "stats", "blocks", "terms", "counters"]
+    STAGES = ["docs", "stats", "blocks", "terms", "counters"]
 
     def __init__(
         self,
@@ -891,6 +920,8 @@ class IndexBuilder:
         # with that stage skipped, the persisted list must survive
         if "bucket_boundaries" in prior_params:
             m["params"]["bucket_boundaries"] = prior_params["bucket_boundaries"]
+        if "docs_span" in prior_params:
+            m["params"]["docs_span"] = prior_params["docs_span"]
 
         # resume trusts the persisted doc store for the row count
         # (metadata-only parquet count) instead of re-scanning the
@@ -910,50 +941,87 @@ class IndexBuilder:
             return stop_after is not None and stage == stop_after
 
         # stage: docs (document store — the reference's document.db).
-        # Sorted by doc_id within each file: row groups carry tight
+        # Layout: partitioned by doc_part = doc_id div docs_span
+        # directories (so maintenance overwrites only touched
+        # doc-range dirs — the Iceberg-partition-overwrite stand-in),
+        # doc_id-sorted within each file (row groups carry tight
         # min/max stats, so range scans / point lookups prune — the
-        # Spark analog of the reference's big-endian key order making
-        # numeric range scans cheap on the LSM
-        # (``engine_test.go:71-174``).  No shuffle: docID assignment
-        # already lays partitions out in doc_id order, so files cover
-        # near-disjoint ranges, and the 16 MB scan-split size
-        # (session.py) keeps downstream full-text scans parallel even
-        # over a handful of files.  (A repartitionByRange here was
-        # measured a net loss: the full-text shuffle cost more than
-        # the layout gained.)
+        # Spark analog of the reference's big-endian key order,
+        # ``engine_test.go:71-174``).  The BM25 document length is
+        # computed HERE, once, and stored as a ``dl`` column: the
+        # blocks stage and every doc_len reader reuse it via a
+        # column-pruned scan instead of re-tokenizing (this is what
+        # let the separate doc_len stage be dropped).  Corpus stats
+        # piggyback on the same write via observe() — no extra job.
+        # No shuffle: docID assignment already lays partitions out in
+        # doc_id order, so files cover near-disjoint ranges and each
+        # task writes to ~1-2 doc_part dirs.  (A repartitionByRange
+        # here was measured a net loss.)
         import os as _os
+
+        from pyspark.sql import Observation
 
         overpart = int(_os.environ.get("SPARK_GRAFT_OVERPARTITION", "4"))
         nparts = max(4, overpart * spark.sparkContext.defaultParallelism)
+        docs_span = int(
+            m["params"].get("docs_span") or doc_part_span(n_rows, self.span)
+        )
+        m["params"]["docs_span"] = docs_span
+        obs_stats: dict | None = None
         if not self._stage_done(m, "docs", fp):
-            docs.sortWithinPartitions("doc_id").write.mode(
-                "overwrite"
-            ).parquet(self.path("docs"))
+            obs = Observation()
+            (
+                docs.withColumn(
+                    "dl", doc_len_col(F.col(self.analyzed_fields[0]))
+                )
+                .withColumn(
+                    "doc_part", F.expr(f"doc_id div {docs_span}").cast("int")
+                )
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("total_tokens"),
+                    F.max("dl").alias("max_dl"),
+                )
+                # sorted by the partition column first: the file
+                # writer's required ordering (doc_part) is already
+                # satisfied, so no extra sort is inserted and the
+                # doc_id order inside each file survives
+                .sortWithinPartitions("doc_part", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("doc_part")
+                .parquet(self.path("docs"))
+            )
+            obs_stats = obs.get
             self._mark_stage(m, "docs", fp, rows=n_rows)
         if stop("docs"):
             return
         docs_t = spark.read.parquet(self.path("docs"))
 
-        # stage: doc_len
-        if not self._stage_done(m, "doc_len", fp):
-            dl = docs_t.select(
-                "doc_id", doc_len_col(F.col(self.analyzed_fields[0])).alias("dl")
-            )
-            dl.write.mode("overwrite").parquet(self.path("doc_len"))
-            self._mark_stage(m, "doc_len", fp)
-        if stop("doc_len"):
-            return
-        dl_t = spark.read.parquet(self.path("doc_len"))
-
-        # stage: stats
+        # stage: stats — free on the build path (the docs write
+        # observed them); a resume that skipped the docs stage
+        # recomputes with one column-pruned scan of the stored dl
         if not self._stage_done(m, "stats", fp):
-            stats = dl_t.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("dl").alias("avgdl"),
-                F.sum("dl").alias("total_tokens"),
-                F.max("dl").alias("max_dl"),
-            )
-            stats.write.mode("overwrite").parquet(self.path("stats"))
+            if obs_stats is None:
+                obs_stats = docs_t.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("total_tokens"),
+                    F.max("dl").alias("max_dl"),
+                ).collect()[0].asDict()
+            stats_row_in = [
+                (
+                    int(obs_stats["n_docs"]),
+                    float(obs_stats["avgdl"]),
+                    int(obs_stats["total_tokens"]),
+                    int(obs_stats["max_dl"]),
+                )
+            ]
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(stats_row_in, 1),
+                "n_docs long, avgdl double, total_tokens long, max_dl long",
+            ).write.mode("overwrite").parquet(self.path("stats"))
             self._mark_stage(m, "stats", fp)
         if stop("stats"):
             return
@@ -1048,7 +1116,7 @@ class IndexBuilder:
                         F.col("fid"),
                         F.col("tcode"),
                         F.col("term"),
-                        (F.col("doc_id") / span).cast("long"),
+                        F.expr(f"doc_id div {span}"),
                     )
                     .sortWithinPartitions("fid", "tcode", "term", "doc_id")
                     .withColumn("part_id", F.spark_partition_id())
@@ -1077,13 +1145,18 @@ class IndexBuilder:
                             F.col("doc_id") * F.lit(1 << dl_bits) + F.col("dl")
                         ).alias("packed"),
                     )
-                    span_expr = (
-                        F.col("packed") / F.lit(span * (1 << dl_bits))
-                    ).cast("long")
+                    # integer division for the exchange key: double
+                    # division loses integer precision past 2^53, so
+                    # doc_ids above ~2^33 (well under the 8.8T-doc
+                    # target) could misround near span boundaries and
+                    # fragment a (term, span) group into duplicate
+                    # blocks (readers stay correct — additive — but
+                    # the layout degrades)
+                    span_expr = F.expr(f"packed div {span * (1 << dl_bits)}")
                     sort_cols = ["fid", "term", "packed"]
                 else:
                     stream = occ
-                    span_expr = (F.col("doc_id") / span).cast("long")
+                    span_expr = F.expr(f"doc_id div {span}")
                     sort_cols = ["fid", "term", "doc_id"]
                 arranged = (
                     stream.repartition(

@@ -8,26 +8,42 @@ and engine layer (``/root/reference/lib/neosearch/engine/engine.go:
 set of doc_ids from a built index — the natural follow-through to
 dedup ("now drop the losers from the index").
 
-Scale design:
-- Only blocks in SPANS containing deleted docs are touched (span =
-  doc_id // span is knowable from the id alone — no index probe);
-  blocks in untouched spans carry over by identity.  Deleting d docs
-  rewrites O(d/span · terms-per-span) blocks, independent of corpus
-  size.
+Scale design — BOTH compute and I/O are O(touched), never O(corpus):
+- The affected (field, term, span) posting groups are derived from
+  the DELETED DOCS' OWN CONTENT (one occurrence-stream pass over the
+  d deleted rows — the same analyzer the build ran), so only groups
+  that can actually contain a deleted posting are rebuilt; every
+  other block carries over untouched.
+- The index's bucketed block layout (build.py: term-range ``bucket=``
+  directories) turns that into partition-scoped WRITES: only the
+  bucket directories containing affected terms are rewritten
+  (carried-blocks-in-bucket ∪ rebuilt), and untouched bucket
+  directories are never read or written — their files stay
+  byte-identical (asserted in tests).  Same for the doc store's
+  ``doc_part=`` doc-range directories.  This is the parquet stand-in
+  for an Iceberg dynamic partition overwrite; the reference's delete
+  is O(1) per key (``store/goleveldb/writer.go:54-65``), ours is
+  O(touched partitions) per batch.
+- Corpus stats update INCREMENTALLY (old totals minus the deleted
+  docs' count/token-sum — exact integer arithmetic, no corpus scan);
+  ``max_dl`` keeps its old value (still a valid upper bound, which is
+  all its consumers need).
 - Deleted ids apply as an anti-join against the decoded tf stream —
   never a driver-side list.
-- All rewritten tables (blocks/terms/docs/doc_len/stats) materialize
-  to tmp dirs first, then swap under a manifest tombstone: the
-  manifest marks ``swap_in_progress`` before the first rename and
-  clears it after the last, so a crash mid-swap leaves an index that
-  REFUSES to open instead of serving a torn view.  (At Iceberg scale
-  the whole swap is one snapshot commit; the tombstone is the
-  sandbox-parquet stand-in.)
+- All rewritten directories materialize to tmp first, then swap
+  under a manifest tombstone: the manifest marks ``swap_in_progress``
+  before the first rename and clears it after the last, so a crash
+  mid-swap leaves an index that REFUSES to open instead of serving a
+  torn view.  (At Iceberg scale the whole swap is one snapshot
+  commit; the tombstone is the sandbox-parquet stand-in.)
 - Stale block-max bounds stay provably conservative: per-posting
   scores are recomputed from tf/dl at query time, and untouched
   blocks keep their ``enc_avgdl`` so the query-side inflation
   ``max(1, avgdl_now/enc_avgdl)`` keeps every pruning bound an upper
   bound after avgdl shifts (see build.py).
+- The build-lineage ``counters`` table is BUILD-TIME provenance (per
+  original build partition) and is not rewritten by maintenance; the
+  manifest records each maintenance op's own counters instead.
 """
 
 from __future__ import annotations
@@ -68,8 +84,12 @@ def check_not_torn(manifest: dict, index_dir: str) -> None:
 
 def swap_tables(index_dir: str, pairs: list[tuple[str, str]], op: str,
                 crash_after: int | None = None, **manifest_extra) -> None:
-    """Atomically-ish replace index tables: tombstone the manifest,
-    rename every (tmp_dir → final) pair, clear the tombstone.
+    """Atomically-ish replace index tables OR single partition
+    directories (``name`` may be e.g. ``blocks/bucket=3``): tombstone
+    the manifest, rename every (tmp_dir → final) pair, clear the
+    tombstone.  A missing tmp dir means "this partition became empty"
+    — the final directory is removed.  A missing final dir (brand-new
+    partition) is simply created by the rename.
 
     ``crash_after`` is a test hook: raise after that many renames to
     simulate a crash mid-swap."""
@@ -83,11 +103,25 @@ def swap_tables(index_dir: str, pairs: list[tuple[str, str]], op: str,
         final = os.path.join(index_dir, name)
         if os.path.exists(final):
             shutil.rmtree(final)
-        os.replace(tmp, final)
+        if os.path.exists(tmp):
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.replace(tmp, final)
     del m["swap_in_progress"]
     for k, v in manifest_extra.items():
         m.setdefault("maintenance", []).append({k: v})
     _save_manifest(index_dir, m)
+
+
+def partition_swap_pairs(
+    index_dir: str, table: str, tmp_root: str, part_col: str, part_vals
+) -> list[tuple[str, str]]:
+    """(name, tmp) swap pairs for the given partition values of a
+    partitioned table — only these directories are replaced; every
+    other partition directory of the table is never touched."""
+    return [
+        (f"{table}/{part_col}={v}", os.path.join(tmp_root, f"{part_col}={v}"))
+        for v in part_vals
+    ]
 
 
 def _explode_blocks_stream(blocks: DataFrame) -> DataFrame:
@@ -131,60 +165,38 @@ def _explode_blocks_stream(blocks: DataFrame) -> DataFrame:
     )
 
 
-def delete_docs(
+def rebuild_touched_buckets(
     spark: SparkSession,
     index_dir: str,
-    ids: DataFrame,
-    crash_after: int | None = None,
-) -> dict:
-    """Remove the given doc_ids (DataFrame with a ``doc_id`` column)
-    from a built index: doc store, doc_len, stats, touched blocks,
-    terms.  Returns counters {n_deleted, touched_spans, n_blocks_touched}.
+    affected: DataFrame,
+    surviving_tf: DataFrame,
+    avgdl: float,
+    span: int,
+    boundaries: list[str],
+) -> tuple[list[tuple[str, str]], list[int]]:
+    """Shared partition-scoped block/terms rewrite for delete and
+    compaction.
 
-    Idempotent: deleting already-absent ids rewrites the touched
-    spans to identical content."""
+    ``affected`` = the (field, term, span_id) posting groups whose
+    content changes; ``surviving_tf`` = the new (field, term, doc_id,
+    tf, dl, span_id) stream for exactly those groups.  Only the
+    bucket directories containing affected terms are rewritten
+    (carried-blocks-in-bucket ∪ re-encoded groups); every other
+    bucket directory of blocks/ and terms/ is never read or written.
+    Returns (swap pairs, touched bucket list)."""
     from .build import BLOCK_SCHEMA, carry_encoder, term_bucket_expr
 
-    m = _load_manifest(index_dir)
-    check_not_torn(m, index_dir)
-    span = int(m["params"]["span"])
-    boundaries = m["params"].get("bucket_boundaries", [])
-
-    ids = ids.select(F.col("doc_id").cast("long")).distinct()
-    n_deleted = ids.count()
-
-    # --- docs + doc_len: anti-join rewrite (Iceberg: row-level delete)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    docs_tmp = os.path.join(index_dir, "docs") + "_tmp"
-    docs.join(ids, "doc_id", "left_anti").write.mode("overwrite").parquet(docs_tmp)
-
-    dl = spark.read.parquet(os.path.join(index_dir, "doc_len"))
-    dl_tmp = os.path.join(index_dir, "doc_len") + "_tmp"
-    dl.join(ids, "doc_id", "left_anti").write.mode("overwrite").parquet(dl_tmp)
-
-    stats = spark.read.parquet(dl_tmp).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-        F.max("dl").alias("max_dl"),
+    touched_buckets = sorted(
+        r["bucket"] for r in affected.select("bucket").distinct().collect()
     )
-    stats_tmp = os.path.join(index_dir, "stats") + "_tmp"
-    stats.write.mode("overwrite").parquet(stats_tmp)
-    avgdl = float(spark.read.parquet(stats_tmp).collect()[0]["avgdl"])
+    if not touched_buckets:
+        return [], []
 
-    # --- blocks: rewrite only spans containing deleted docs
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
-    spans = ids.select(
-        (F.col("doc_id") / span).cast("long").alias("span_id")
-    ).distinct()
-    touched = blocks.join(F.broadcast(spans), "span_id")
-    untouched = blocks.join(F.broadcast(spans), "span_id", "left_anti")
+    bl_t = blocks.where(F.col("bucket").isin(touched_buckets))
+    keys = affected.select("field", "term", "span_id")
+    carried = bl_t.join(keys, ["field", "term", "span_id"], "left_anti")
 
-    surviving_tf = (
-        _explode_blocks_stream(touched)
-        .join(ids, "doc_id", "left_anti")
-        .withColumn("span_id", (F.col("doc_id") / span).cast("long"))
-    )
     nparts = max(4, spark.sparkContext.defaultParallelism)
     arranged = (
         surviving_tf.repartitionByRange(nparts, "field", "term", "span_id")
@@ -194,11 +206,11 @@ def delete_docs(
     rebuilt = arranged.mapInPandas(
         carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
     ).withColumn("bucket", term_bucket_expr(F.col("term"), boundaries))
+
     blocks_tmp = os.path.join(index_dir, "blocks") + "_tmp"
-    n_touched_blocks = touched.count()
     (
-        untouched.unionByName(rebuilt)
-        .repartition(max(len(boundaries) + 1, 1), "bucket")
+        carried.unionByName(rebuilt)
+        .repartition(len(touched_buckets), "bucket")
         .sortWithinPartitions("field", "term", "span_id")
         .write.mode("overwrite")
         .option("parquet.block.size", 8 * 1024 * 1024)
@@ -206,7 +218,6 @@ def delete_docs(
         .parquet(blocks_tmp)
     )
 
-    # --- terms: re-aggregate from the new blocks
     terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
     (
         spark.read.parquet(blocks_tmp)
@@ -222,23 +233,189 @@ def delete_docs(
         .partitionBy("bucket")
         .parquet(terms_tmp)
     )
+    pairs = partition_swap_pairs(
+        index_dir, "blocks", blocks_tmp, "bucket", touched_buckets
+    ) + partition_swap_pairs(
+        index_dir, "terms", terms_tmp, "bucket", touched_buckets
+    )
+    return pairs, touched_buckets
+
+
+def _cleanup_tmp_roots(index_dir: str) -> None:
+    for t in ("blocks_tmp", "terms_tmp", "docs_tmp", "doc_len_extra_tmp"):
+        shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    crash_after: int | None = None,
+) -> dict:
+    """Remove the given doc_ids (DataFrame with a ``doc_id`` column)
+    from a built index: doc store, stats, touched blocks, terms.
+    Returns counters {n_deleted, touched_spans, n_blocks_touched,
+    touched_buckets, touched_doc_parts}.
+
+    O(touched) end to end: the affected posting groups come from the
+    deleted docs' own analyzed content, and only the bucket/doc_part
+    directories containing them are rewritten (see module docstring).
+    ``n_deleted`` counts rows actually removed (absent ids don't
+    count).  Idempotent: re-deleting absent ids touches no blocks and
+    rewrites the ids' doc_part directories to identical content."""
+    from .build import _occurrence_stream
+
+    m = _load_manifest(index_dir)
+    check_not_torn(m, index_dir)
+    p = m["params"]
+    span = int(p["span"])
+    boundaries = p.get("bucket_boundaries", [])
+    docs_span = int(p["docs_span"])
+    analyzed_fields = list(p["analyzed_fields"])
+    exact_fields = list(p["exact_fields"])
+
+    ids = ids.select(F.col("doc_id").cast("long")).distinct()
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    deleted_docs = docs.join(ids, "doc_id", "semi").persist()
+
+    # streamed docs (postings but no doc-store row) live only in
+    # doc_len_extra; their content is unknown, so their spans fall
+    # back to span-granular group rebuild
+    extra_path = os.path.join(index_dir, "doc_len_extra")
+    extra_deleted = None
+    if os.path.exists(extra_path):
+        extra_deleted = (
+            spark.read.parquet(extra_path).join(ids, "doc_id", "semi").persist()
+        )
+
+    # --- affected (field, term, span) groups from the deleted docs'
+    # own content — O(d · terms/doc), no index probe
+    occ = _occurrence_stream(
+        deleted_docs, analyzed_fields, exact_fields, include_whole=True
+    )
+    affected = occ.select(
+        "field", "term", F.expr(f"doc_id div {span}").alias("span_id")
+    ).distinct()
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    if extra_deleted is not None:
+        extra_spans = [
+            r["s"]
+            for r in extra_deleted.select(
+                F.expr(f"doc_id div {span}").alias("s")
+            ).distinct().collect()
+        ]
+        if extra_spans:
+            affected = affected.unionByName(
+                blocks.where(F.col("span_id").isin(extra_spans))
+                .select("field", "term", "span_id")
+                .distinct()
+            ).distinct()
+
+    # --- incremental stats (exact integer arithmetic, no corpus scan)
+    old = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    dstat = deleted_docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_del, t_del = int(dstat["n"]), int(dstat["t"] or 0)
+    if extra_deleted is not None:
+        estat = extra_deleted.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        n_del += int(estat["n"])
+        t_del += int(estat["t"] or 0)
+    n_new = int(old["n_docs"]) - n_del
+    t_new = int(old["total_tokens"]) - t_del
+    avgdl = (t_new / n_new) if n_new else 0.0
+    stats_tmp = os.path.join(index_dir, "stats") + "_tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(n_new, avgdl, t_new, int(old["max_dl"]))], 1
+        ),
+        "n_docs long, avgdl double, total_tokens long, max_dl long",
+    ).write.mode("overwrite").parquet(stats_tmp)
+
+    # --- blocks/terms: partition-scoped rewrite of touched buckets.
+    # The scan feeding the rebuild is itself bucket-pruned: untouched
+    # bucket directories are never even read.
+    from .build import term_bucket_expr
+
+    affected = affected.withColumn(
+        "bucket", term_bucket_expr(F.col("term"), boundaries)
+    ).persist()
+    bucket_list = sorted(
+        r["bucket"] for r in affected.select("bucket").distinct().collect()
+    )
+    bl_scan = (
+        blocks.where(F.col("bucket").isin(bucket_list))
+        if bucket_list
+        else blocks.where(F.lit(False))
+    )
+    keys = affected.select("field", "term", "span_id")
+    touched_blocks = bl_scan.join(keys, ["field", "term", "span_id"])
+    n_touched_blocks = touched_blocks.count()
+    surviving_tf = (
+        _explode_blocks_stream(touched_blocks)
+        .join(ids, "doc_id", "left_anti")
+        .withColumn("span_id", F.expr(f"doc_id div {span}"))
+    )
+    pairs, touched_buckets = rebuild_touched_buckets(
+        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries
+    )
+    affected.unpersist()
+
+    # --- doc store: rewrite only the doc_part dirs containing ids
+    touched_parts = sorted(
+        r["p"]
+        for r in ids.select(
+            F.expr(f"doc_id div {docs_span}").alias("p")
+        ).distinct().collect()
+    )
+    docs_tmp = os.path.join(index_dir, "docs") + "_tmp"
+    (
+        docs.where(F.col("doc_part").isin(touched_parts))
+        .join(ids, "doc_id", "left_anti")
+        .sortWithinPartitions("doc_part", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_part")
+        .parquet(docs_tmp)
+    )
+    pairs += partition_swap_pairs(
+        index_dir, "docs", docs_tmp, "doc_part", touched_parts
+    )
+    if extra_deleted is not None:
+        extra_tmp = extra_path + "_tmp"
+        (
+            spark.read.parquet(extra_path)
+            .where(F.col("doc_part").isin(touched_parts))
+            .join(ids, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("doc_part")
+            .parquet(extra_tmp)
+        )
+        pairs += partition_swap_pairs(
+            index_dir, "doc_len_extra", extra_tmp, "doc_part", touched_parts
+        )
+    pairs.append(("stats", stats_tmp))
 
     counters = {
-        "n_deleted": int(n_deleted),
-        "touched_spans": int(spans.count()),
+        "n_deleted": n_del,
+        "touched_spans": int(
+            ids.select(F.expr(f"doc_id div {span}")).distinct().count()
+        ),
         "n_blocks_touched": int(n_touched_blocks),
+        "touched_buckets": len(touched_buckets),
+        "touched_doc_parts": len(touched_parts),
     }
+    deleted_docs.unpersist()
+    if extra_deleted is not None:
+        extra_deleted.unpersist()
     swap_tables(
         index_dir,
-        [
-            ("blocks", blocks_tmp),
-            ("terms", terms_tmp),
-            ("docs", docs_tmp),
-            ("doc_len", dl_tmp),
-            ("stats", stats_tmp),
-        ],
+        pairs,
         op="delete_docs",
         crash_after=crash_after,
         delete_docs=counters,
     )
+    _cleanup_tmp_roots(index_dir)
     return counters

@@ -76,6 +76,13 @@ class SparkIndex:
         self._cache = cache
         self._blocks_df: DataFrame | None = None
         self._terms_df: DataFrame | None = None
+        # per-term (df, n_blocks) memo fed from the terms table: a
+        # serving process pays ONE bucket-pruned probe per new term,
+        # repeat queries run in a single Spark job.  Maintenance ops
+        # (delete_docs / compact_deltas) change dfs — reopen the
+        # index after them (they swap stats anyway, which is also
+        # read once at open).
+        self._meta_cache: dict[tuple[str, str], tuple[int, int]] = {}
 
     @property
     def blocks(self) -> DataFrame:
@@ -97,7 +104,21 @@ class SparkIndex:
 
     @property
     def doc_len(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_len"))
+        """(doc_id, dl) — derived from the doc store's stored ``dl``
+        column (a column-pruned 2-column scan; there is no separate
+        doc_len table to build or maintain), unioned with the
+        ``doc_len_extra`` table that streaming compaction writes for
+        docs that entered through the delta path (streamed docs carry
+        postings + lengths but no doc-store row)."""
+        dl = self.docs.select("doc_id", F.col("dl").cast("long").alias("dl"))
+        extra = os.path.join(self.index_dir, "doc_len_extra")
+        if os.path.exists(extra):
+            dl = dl.unionByName(
+                self.spark.read.parquet(extra).select(
+                    "doc_id", F.col("dl").cast("long").alias("dl")
+                )
+            )
+        return dl
 
     # ---------------- posting decode ----------------
 
@@ -269,34 +290,53 @@ class SparkIndex:
 
     # ---------------- BM25 ----------------
 
+    def _term_meta(
+        self, qterms: list[str], field: str = "text"
+    ) -> dict[str, tuple[int, int]]:
+        """(df, n_blocks) per query term, memoized.  Unseen terms
+        cost one bucket-pruned probe of the terms table (1 MB row
+        groups sorted by term → ~one row group per file); seen terms
+        are free, so a warm serving process answers a query in a
+        single Spark job.  Terms absent from the index memoize as
+        (0, 0)."""
+        missing = [t for t in qterms if (field, t) not in self._meta_cache]
+        if missing:
+            rows = (
+                self._bucket_terms(self.terms, missing)
+                .where((F.col("field") == field) & F.col("term").isin(missing))
+                .select("term", "df", "n_blocks")
+                .collect()
+            )
+            got = {r["term"]: (int(r["df"]), int(r["n_blocks"])) for r in rows}
+            for t in missing:
+                self._meta_cache[(field, t)] = got.get(t, (0, 0))
+        return {t: self._meta_cache[(field, t)] for t in qterms}
+
     def idfs(
         self, qterms: list[str], field: str = "text"
     ) -> tuple[dict[str, float], int, int]:
         """Per-term idf plus the total block/posting counts for the
-        query terms (free from the terms table — drives the
-        local/distributed/prune path decision without an extra job)."""
-        uniq_terms = list(set(qterms))
-        rows = (
-            self._bucket_terms(self.terms, uniq_terms)
-            .where((F.col("field") == field) & F.col("term").isin(uniq_terms))
-            .select("term", "df", "n_blocks")
-            .collect()
-        )
-        dfmap = {r["term"]: int(r["df"]) for r in rows}
-        total_blocks = sum(int(r["n_blocks"]) for r in rows)
+        query terms (memoized terms-table metadata — drives the
+        local/distributed/prune path decision)."""
+        meta = self._term_meta(list(set(qterms)), field)
+        dfmap = {t: m[0] for t, m in meta.items()}
+        total_blocks = sum(m[1] for m in meta.values())
         total_postings = sum(dfmap.values())
-        n = self.n_docs
-        idf = {
-            t: math.log(1.0 + (n - dfmap.get(t, 0) + 0.5) / (dfmap.get(t, 0) + 0.5))
-            for t in qterms
-        }
-        return idf, total_blocks, total_postings
+        return self._idf(dfmap, qterms), total_blocks, total_postings
 
     def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
         """Per-span exact scoring: ≤k (doc_id, score) rows per span.
 
-        Accumulation is per query term IN QUERY ORDER (fixed float64
-        op order → rank-identical to the oracle)."""
+        Accumulation order is per query term IN QUERY ORDER, blocks
+        by first_doc, postings in block order — ``np.add.at`` applies
+        additions sequentially in exactly that order, so the float64
+        op order (hence every score bit) matches the per-block loop
+        this replaces, the local path, and the pytest oracle.  All of
+        a span's block buffers are varint-decoded in ONE batch
+        (buffers self-delimit) and the per-block delta chains rebased
+        with one cumsum + repeat — same pattern as ``_decode``."""
+        from .codec import _varint_decode
+
         span = self.span
         avgdl = self.avgdl
         qpos = {t: i for i, t in enumerate(qterms)}
@@ -306,15 +346,22 @@ class SparkIndex:
             base = span_id * span
             acc = np.zeros(span, dtype=np.float64)
             seen = np.zeros(span, dtype=bool)
-            pdf = pdf.assign(_qp=pdf["term"].map(qpos)).sort_values(["_qp", "first_doc"])
-            for row in pdf.itertuples(index=False):
-                ids = decode_postings(row.docs_enc)
-                tfs = decode_tfs(row.tfs_enc).astype(np.float64)
-                dls = decode_tfs(row.dls_enc).astype(np.float64)
-                tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-                rel = ids - base
-                acc[rel] += idf[row.term] * tf_norm
-                seen[rel] = True
+            pdf = pdf.assign(_qp=pdf["term"].map(qpos)).sort_values(
+                ["_qp", "first_doc"], kind="mergesort"
+            )
+            n_docs = pdf["n_docs"].to_numpy(dtype=np.int64)
+            deltas = _varint_decode(b"".join(pdf["docs_enc"].tolist()))
+            cum = np.cumsum(deltas.astype(np.int64))
+            starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+            rebase = np.repeat(cum[starts] - deltas[starts].astype(np.int64), n_docs)
+            ids = cum - rebase
+            tfs = _varint_decode(b"".join(pdf["tfs_enc"].tolist())).astype(np.float64)
+            dls = _varint_decode(b"".join(pdf["dls_enc"].tolist())).astype(np.float64)
+            tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            w = np.repeat(pdf["term"].map(idf).to_numpy(dtype=np.float64), n_docs)
+            rel = ids - base
+            np.add.at(acc, rel, w * tf_norm)
+            seen[rel] = True
             idx = np.flatnonzero(seen)
             if idx.size == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
@@ -408,14 +455,10 @@ class SparkIndex:
         rdd = self.spark.sparkContext.parallelize(rows or [], 1)
         return self.spark.createDataFrame(rdd, "doc_id long, score double")
 
-    def _score_local(
-        self, rows: list, qterms: list[str], idf: dict, k: int
-    ) -> DataFrame:
-        """Driver-local scoring of the (small) collected block rows.
-
-        Float op order is identical to ``_score_spans`` and the pytest
-        oracle: per query term IN QUERY ORDER, ``acc += idf·tf_norm``
-        (float64), tie-break (score desc, doc_id asc)."""
+    @staticmethod
+    def _decode_rows(rows: list) -> dict[str, tuple]:
+        """Collected block rows → {term: (ids, tfs, dls)} numpy
+        arrays, blocks concatenated in (span_id, first_doc) order."""
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
@@ -426,20 +469,39 @@ class SparkIndex:
             tfs = np.concatenate([decode_tfs(r["tfs_enc"]) for r in rs]).astype(np.float64)
             dls = np.concatenate([decode_tfs(r["dls_enc"]) for r in rs]).astype(np.float64)
             decoded[t] = (ids, tfs, dls)
-        if not decoded:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        all_ids = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+        return decoded
+
+    def _score_decoded(
+        self, decoded: dict[str, tuple], qterms: list[str], idf: dict, k: int
+    ) -> list[tuple[int, float]]:
+        """Driver-local BM25 over decoded postings → top-k rows in
+        (score desc, doc_id asc) order.
+
+        Float op order is identical to ``_score_spans`` and the pytest
+        oracle: per query term IN QUERY ORDER, ``acc += idf·tf_norm``
+        (float64), tie-break (score desc, doc_id asc)."""
+        use = {t: decoded[t] for t in qterms if t in decoded}
+        if not use:
+            return []
+        all_ids = np.unique(np.concatenate([v[0] for v in use.values()]))
         acc = np.zeros(all_ids.size, dtype=np.float64)
         avgdl = self.avgdl
         for t in qterms:  # duplicates accumulate once per occurrence
-            if t not in decoded:
+            if t not in use:
                 continue
-            ids, tfs, dls = decoded[t]
+            ids, tfs, dls = use[t]
             tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
             acc[np.searchsorted(all_ids, ids)] += idf[t] * tf_norm
         order = np.lexsort((all_ids, -acc))[:k]
-        out = [(int(all_ids[i]), float(acc[i])) for i in order]
-        return self._topk_df(out)
+        return [(int(all_ids[i]), float(acc[i])) for i in order]
+
+    def _score_local(
+        self, rows: list, qterms: list[str], idf: dict, k: int
+    ) -> DataFrame:
+        """Driver-local scoring of the (small) collected block rows."""
+        return self._topk_df(
+            self._score_decoded(self._decode_rows(rows), qterms, idf, k)
+        )
 
     def explain_query(self, query: str, field: str = "text", k: int = 10) -> dict:
         """Dry-run planning surface (the ``_analyze`` analog,
@@ -463,12 +525,14 @@ class SparkIndex:
             "field": field,
             "k": k,
             "stages": [
-                f"1. pushed-down block scan on term IN {uniq} "
-                f"(fast path if ≤{self.FAST_COLLECT_MAX_BLOCKS} blocks: one job)",
-                f"2. else metadata scan (cap {self.META_COLLECT_CAP} rows) → "
-                f"local scoring if ≤{self.LOCAL_SCORE_MAX_POSTINGS} postings",
-                "3. else distributed per-span scoring with block-max "
-                "WAND pruning (bootstrap + survivors join)",
+                "1. per-term (df, n_blocks) from the memoized terms-table "
+                "metadata (no job when the terms were seen before)",
+                f"2. ≤{self.FAST_COLLECT_MAX_BLOCKS} blocks or "
+                f"≤{self.LOCAL_SCORE_MAX_POSTINGS} postings → ONE pushed-down "
+                "payload scan + driver-local scoring",
+                f"3. else distributed per-span scoring with block-max WAND "
+                f"pruning (span-bound metadata capped at {self.META_COLLECT_CAP} "
+                "rows, then a fully distributed bound aggregation)",
             ],
             "block_scan_plan": plan,
         }
@@ -493,52 +557,37 @@ class SparkIndex:
             (F.col("field") == field) & F.col("term").isin(uniq)
         )
 
-        def dfmap_from(rows) -> dict[str, int]:
-            # Σ n_docs over a term's blocks == its global df (the
-            # predicate fetched ALL of the term's blocks)
-            m: dict[str, int] = {}
-            for r in rows:
-                m[r["term"]] = m.get(r["term"], 0) + r["n_docs"]
-            return m
+        # path decision + idf from memoized terms-table metadata: a
+        # warm serving process answers a small/medium query with ONE
+        # pushed-down payload scan — no probe job, and no speculative
+        # payload collect that gets discarded when a query turns out
+        # hot (the overflow waste the old probe-first shape had)
+        idf, total_blocks, total_postings = self.idfs(qterms, field)
 
-        # --- warm fast path: ONE pushed-down scan collects metadata
-        # AND payload together; typical queries (a few blocks after
-        # term-range file pruning) complete in a single Spark job.
-        if mode in ("auto", "local"):
-            fast = (
-                blocks_q.select(*self._PAYLOAD_COLS)
-                .limit(self.FAST_COLLECT_MAX_BLOCKS + 1)
-                .collect()
+        if mode == "local" or (
+            mode == "auto"
+            and (
+                total_blocks <= self.FAST_COLLECT_MAX_BLOCKS
+                or total_postings <= self.LOCAL_SCORE_MAX_POSTINGS
             )
-            if len(fast) <= self.FAST_COLLECT_MAX_BLOCKS:
-                return self._score_local(fast, qterms, self._idf(dfmap_from(fast), qterms), k)
-            if mode == "local":  # forced local: collect everything
-                rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
-                return self._score_local(rows, qterms, self._idf(dfmap_from(rows), qterms), k)
-
-        # --- column-pruned metadata scan: per-term df (hence idf),
-        # the local/distributed decision, AND the per-span WAND
-        # bounds — without touching the terms table.  A cap guards
-        # the astronomically-hot case (≥ ~260 G postings across the
-        # query's terms): fall back to terms-table stats + fully
-        # distributed bound aggregation (never an unbounded collect).
-        meta = (
-            blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl", "n_docs")
-            .limit(self.META_COLLECT_CAP + 1)
-            .collect()
-        )
-        if len(meta) > self.META_COLLECT_CAP:
-            meta = None
-            idf, total_blocks, total_postings = self.idfs(qterms, field)
-        else:
-            dfm = dfmap_from(meta)
-            idf = self._idf(dfm, qterms)
-            total_blocks = len(meta)
-            total_postings = sum(dfm.values())
-
-        if mode == "auto" and total_postings <= self.LOCAL_SCORE_MAX_POSTINGS:
+        ):
             rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
             return self._score_local(rows, qterms, idf, k)
+
+        # --- distributed path.  Column-pruned metadata scan feeds
+        # the per-span WAND bounds; a cap guards the astronomically-
+        # hot case (≥ ~260 G postings across the query's terms): fall
+        # back to fully distributed bound aggregation (never an
+        # unbounded collect).
+        meta = None
+        if prune and total_blocks > 64:
+            meta = (
+                blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl")
+                .limit(self.META_COLLECT_CAP + 1)
+                .collect()
+            )
+            if len(meta) > self.META_COLLECT_CAP:
+                meta = None
 
         # pruning pays for its extra driver round-trips only when
         # there are enough blocks to skip; below the threshold the
@@ -636,3 +685,55 @@ class SparkIndex:
             return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
 
         return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
+
+    def bm25_topk_batch(
+        self, queries: list[str], k: int = 10, field: str = "text"
+    ) -> DataFrame:
+        """BM25 top-k for a query STREAM in one Spark job.
+
+        The serving-path scale shape (the reference's REST search is
+        a stream of requests, ``service/neosearch/index/search.go:
+        26-134``): per-query jobs pay a fixed driver/scheduler cost
+        that DOMINATES warm latency and gets WORSE with more cores
+        (measured 0.66x 2→8-core query scaling in round 2).  Batching
+        amortizes it: ONE pushed-down block scan over the union of
+        all queries' terms, one decode, then per-query driver-local
+        scoring — N queries per Spark job instead of jobs per query.
+
+        Per-query results are row-for-row IDENTICAL to
+        ``bm25_topk(query, k)`` (same decode order, same float op
+        order, same tie-break — oracle-gated and tested).  Batches
+        whose combined posting volume exceeds the local cap fall back
+        to the per-query path ladder (a hot term can never be
+        collected).
+
+        Returns (query_id int, doc_id long, score double), rows
+        ordered by (query_id, score desc, doc_id asc)."""
+        qterms_list = [analyze_query(q) for q in queries]
+        all_uniq = list(dict.fromkeys(t for qs in qterms_list for t in qs))
+        out: list[tuple[int, int, float]] = []
+        if all_uniq:
+            meta = self._term_meta(all_uniq, field)
+            total_postings = sum(m[0] for m in meta.values())
+            if total_postings <= self.LOCAL_SCORE_MAX_POSTINGS:
+                blocks_q = self._bucket_terms(self.blocks, all_uniq).where(
+                    (F.col("field") == field) & F.col("term").isin(all_uniq)
+                )
+                rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
+                decoded = self._decode_rows(rows)
+                for qi, qterms in enumerate(qterms_list):
+                    if not qterms:
+                        continue
+                    idf = self._idf({t: meta[t][0] for t in qterms}, qterms)
+                    for d, s in self._score_decoded(decoded, qterms, idf, k):
+                        out.append((qi, d, s))
+            else:
+                for qi, (q, qterms) in enumerate(zip(queries, qterms_list)):
+                    if not qterms:
+                        continue
+                    for r in self.bm25_topk(q, k, field).collect():
+                        out.append((qi, int(r["doc_id"]), float(r["score"])))
+        rdd = self.spark.sparkContext.parallelize(out, 1)
+        return self.spark.createDataFrame(
+            rdd, "query_id int, doc_id long, score double"
+        )

@@ -77,130 +77,142 @@ def stream_ingest(
 
 
 def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None) -> int:
-    """Fold delta tables into the block index.
+    """Fold delta tables into the block index — partition-scoped in
+    both compute and I/O.
 
-    Only (term, span) groups present in the delta are rebuilt: the
-    base blocks for touched groups are decoded, merged with delta
-    postings, re-encoded; untouched blocks are carried over as-is
-    (file-level identity — at Iceberg scale this is a partition
-    overwrite of touched term-buckets only).  Returns #touched
-    groups."""
+    Only the (field, term, span) groups present in the delta are
+    rebuilt (base blocks for those groups decoded, merged with delta
+    postings, re-encoded), and only the bucket DIRECTORIES containing
+    delta terms are rewritten; untouched bucket directories are never
+    read or written (file-level identity — the parquet stand-in for
+    an Iceberg partition overwrite of touched term-buckets).  The
+    streamed docs' lengths land in the ``doc_len_extra`` table
+    (partitioned by doc_part like the doc store — streamed docs have
+    postings + lengths but no doc-store row), and corpus stats update
+    incrementally from the delta alone.  Returns #touched groups."""
     import json
+    import shutil
+
+    from .build import doc_part_span
+    from .maintenance import (
+        _explode_blocks_stream,
+        partition_swap_pairs,
+        rebuild_touched_buckets,
+        swap_tables,
+    )
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    span = span or int(manifest["params"]["span"])
+    p = manifest["params"]
+    span = span or int(p["span"])
+    boundaries = p.get("bucket_boundaries", [])
 
     delta_dir = os.path.join(index_dir, "tf_delta")
     if not os.path.exists(delta_dir):
         return 0
     tf_delta = spark.read.parquet(delta_dir).drop("epoch")
-    dl_delta = spark.read.parquet(os.path.join(index_dir, "doc_len_delta")).drop("epoch")
-
-    # refresh corpus stats first: materialize the merged doc_len to a
-    # tmp dir IMMEDIATELY (lazy plans over a directory we later swap
-    # would re-list deleted files), then derive stats from the tmp
-    dl_base = spark.read.parquet(os.path.join(index_dir, "doc_len"))
-    dl_all = dl_base.unionByName(dl_delta).dropDuplicates(["doc_id"])
-    doc_len_tmp = os.path.join(index_dir, "doc_len") + "_tmp"
-    dl_all.write.mode("overwrite").parquet(doc_len_tmp)
-    dl_new = spark.read.parquet(doc_len_tmp)
-    stats = dl_new.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-        F.max("dl").alias("max_dl"),
+    dl_delta = (
+        spark.read.parquet(os.path.join(index_dir, "doc_len_delta"))
+        .drop("epoch")
+        .dropDuplicates(["doc_id"])
+        .persist()
     )
+
+    # --- incremental stats: old totals + the delta's count/sum —
+    # append-only ingest (delta doc ids are new), no corpus scan
+    old = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    d = dl_delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("t"),
+        F.max("dl").alias("m"),
+    ).collect()[0]
+    n_new = int(old["n_docs"]) + int(d["n"])
+    t_new = int(old["total_tokens"]) + int(d["t"] or 0)
+    max_dl = max(int(old["max_dl"]), int(d["m"] or 0))
+    avgdl = (t_new / n_new) if n_new else 0.0
     stats_tmp = os.path.join(index_dir, "stats") + "_tmp"
-    stats.write.mode("overwrite").parquet(stats_tmp)
-    avgdl = float(spark.read.parquet(stats_tmp).collect()[0]["avgdl"])
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([(n_new, avgdl, t_new, max_dl)], 1),
+        "n_docs long, avgdl double, total_tokens long, max_dl long",
+    ).write.mode("overwrite").parquet(stats_tmp)
 
-    blocks_path = os.path.join(index_dir, "blocks")
-    base = spark.read.parquet(blocks_path)
-
-    delta_k = (
-        tf_delta.withColumn("span_id", (F.col("doc_id") / span).cast("long"))
-        .withColumnRenamed("term", "term")
+    # --- doc_len_extra: only the doc_part dirs the delta lands in
+    docs_span = int(p.get("docs_span") or doc_part_span(n_new, span))
+    extra_path = os.path.join(index_dir, "doc_len_extra")
+    delta_parted = dl_delta.withColumn(
+        "doc_part", F.expr(f"doc_id div {docs_span}").cast("int")
     )
-    touched = delta_k.select("field", "term", "span_id").distinct()
+    touched_parts = sorted(
+        r["doc_part"]
+        for r in delta_parted.select("doc_part").distinct().collect()
+    )
+    extra_new = delta_parted
+    if os.path.exists(extra_path):
+        extra_new = (
+            spark.read.parquet(extra_path)
+            .where(F.col("doc_part").isin(touched_parts))
+            .unionByName(delta_parted)
+            .dropDuplicates(["doc_id"])
+        )
+    extra_tmp = extra_path + "_tmp"
+    extra_new.write.mode("overwrite").partitionBy("doc_part").parquet(extra_tmp)
 
-    # decode touched base blocks back to the tf stream (vectorized
-    # batch-concatenated decode, shared with maintenance.delete_docs)
-    from .maintenance import _explode_blocks_stream
+    # --- blocks/terms: decode touched base groups, merge with delta,
+    # re-encode; rewrite touched bucket dirs only
+    from .build import term_bucket_expr
 
-    touched_base = base.join(touched, ["field", "term", "span_id"])
+    delta_k = tf_delta.withColumn("span_id", F.expr(f"doc_id div {span}"))
+    affected = (
+        delta_k.select("field", "term", "span_id")
+        .distinct()
+        .withColumn("bucket", term_bucket_expr(F.col("term"), boundaries))
+        .persist()
+    )
+    n_touched = affected.count()
+    bucket_list = sorted(
+        r["bucket"] for r in affected.select("bucket").distinct().collect()
+    )
+    base = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    base_scan = (
+        base.where(F.col("bucket").isin(bucket_list))
+        if bucket_list
+        else base.where(F.lit(False))
+    )
+    touched_base = base_scan.join(
+        affected.select("field", "term", "span_id"), ["field", "term", "span_id"]
+    )
     base_tf = _explode_blocks_stream(touched_base)
-    # append-only ingest assumed: base and delta doc sets are disjoint
     merged_tf = (
         base_tf.unionByName(delta_k.select("field", "term", "doc_id", "tf", "dl"))
         .groupBy("field", "term", "doc_id", "dl")
         .agg(F.sum("tf").alias("tf"))
-        .withColumn("span_id", (F.col("doc_id") / span).cast("long"))
+        .withColumn("span_id", F.expr(f"doc_id div {span}"))
     )
-
-    nparts = max(4, spark.sparkContext.defaultParallelism)
-    arranged = (
-        merged_tf.repartitionByRange(nparts, "field", "term", "span_id")
-        .sortWithinPartitions("field", "term", "span_id", "doc_id")
-        .withColumn("part_id", F.spark_partition_id())
+    pairs, _ = rebuild_touched_buckets(
+        spark, index_dir, affected, merged_tf, avgdl, span, boundaries
     )
+    affected.unpersist()
+    dl_delta.unpersist()
 
-    from .build import BLOCK_SCHEMA, carry_encoder, term_bucket_expr
-
-    boundaries = manifest["params"].get("bucket_boundaries", [])
-    rebuilt = arranged.mapInPandas(
-        carry_encoder(avgdl=avgdl, span=span), schema=BLOCK_SCHEMA
-    ).withColumn("bucket", term_bucket_expr(F.col("term"), boundaries))
-    untouched = base.join(touched, ["field", "term", "span_id"], "left_anti")
-    new_blocks = untouched.unionByName(rebuilt)
-
-    import shutil
-
-    blocks_tmp = blocks_path + "_tmp"
-    (
-        new_blocks.repartition(max(len(boundaries) + 1, 1), "bucket")
-        .sortWithinPartitions("field", "term", "span_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(blocks_tmp)
+    pairs += partition_swap_pairs(
+        index_dir, "doc_len_extra", extra_tmp, "doc_part", touched_parts
     )
-
-    terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
-    terms = (
-        spark.read.parquet(blocks_tmp)
-        .groupBy("bucket", "field", "term")
-        .agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.max("max_tf_norm").alias("max_tf_norm"),
-            F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        )
-        .sortWithinPartitions("field", "term")
-    )
-    terms.write.mode("overwrite").option(
-        "parquet.block.size", 1024 * 1024
-    ).partitionBy("bucket").parquet(terms_tmp)
-
-    n_touched = touched.count()
+    pairs.append(("stats", stats_tmp))
 
     # all outputs materialized — swap under a manifest tombstone so a
     # crash mid-swap leaves an index that refuses to open rather than
     # serving a torn view (the Iceberg-scale equivalent is a single
     # snapshot commit)
-    from .maintenance import swap_tables
-
     swap_tables(
         index_dir,
-        [
-            ("blocks", blocks_tmp),
-            ("terms", terms_tmp),
-            ("doc_len", doc_len_tmp),
-            ("stats", stats_tmp),
-        ],
+        pairs,
         op="compact_deltas",
         compact_deltas={"touched_groups": int(n_touched)},
     )
     shutil.rmtree(delta_dir)
     shutil.rmtree(os.path.join(index_dir, "doc_len_delta"))
+    for t in ("blocks_tmp", "terms_tmp", "doc_len_extra_tmp"):
+        shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
     return n_touched
 
 

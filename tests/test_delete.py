@@ -102,6 +102,94 @@ def test_delete_idempotent(spark, built):
     assert _sig(spark, d) == before
 
 
+def _dir_file_hashes(root):
+    """{relpath: md5} over every file under root."""
+    import hashlib
+    import os
+
+    out = {}
+    for base, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(base, f)
+            out[os.path.relpath(p, root)] = hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+    return out
+
+
+def test_delete_is_partition_scoped(spark, tmp_path):
+    """The O(touched)-I/O contract: deleting a doc whose vocabulary
+    lives in a few term buckets (and one doc_part) leaves every OTHER
+    bucket directory and doc_part directory byte-identical — those
+    files are carried by identity, never rewritten (the parquet
+    stand-in for an Iceberg partition overwrite)."""
+    import os
+
+    # vocabulary split: 160 'alpha*' docs (buckets low in term order)
+    # + 8 'zz*' docs (last buckets); deleting a zz doc must not touch
+    # any alpha-only bucket
+    rows = [
+        (i, f"alpha{i % 37} alpha{(i * 7) % 37} alpha{(i * 11) % 37}")
+        for i in range(160)
+    ] + [(160 + j, f"zz{j} zz{(j + 1) % 8} zz{(j + 2) % 8}") for j in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "scoped_idx")
+    IndexBuilder(d, span=32, n_buckets=8).build(docs)
+
+    before_blocks = _dir_file_hashes(os.path.join(d, "blocks"))
+    before_docs = _dir_file_hashes(os.path.join(d, "docs"))
+    before_terms = _dir_file_hashes(os.path.join(d, "terms"))
+
+    si = SparkIndex(spark, d)
+    z_terms = [r["term"] for r in si.terms.where(F.col("term").startswith("zz")).select("term").collect()]
+    z_buckets = {si._bucket_of(t) for t in z_terms}
+    counters = delete_docs(
+        spark, d, spark.createDataFrame([(163,)], "doc_id long")
+    )
+    assert counters["n_deleted"] == 1
+    assert counters["touched_buckets"] <= len(z_buckets)
+
+    after_blocks = _dir_file_hashes(os.path.join(d, "blocks"))
+    after_docs = _dir_file_hashes(os.path.join(d, "docs"))
+    after_terms = _dir_file_hashes(os.path.join(d, "terms"))
+
+    def changed_parts(before, after, prefix):
+        keys = set(before) | set(after)
+        return {
+            k.split(os.sep)[0]
+            for k in keys
+            if k.startswith(prefix) and before.get(k) != after.get(k)
+        }
+
+    # only z-term buckets were rewritten; alpha buckets byte-identical
+    assert changed_parts(before_blocks, after_blocks, "bucket=") <= {
+        f"bucket={b}" for b in z_buckets
+    }
+    assert changed_parts(before_terms, after_terms, "bucket=") <= {
+        f"bucket={b}" for b in z_buckets
+    }
+    # some bucket must be carried by identity (not a full rewrite)
+    untouched = {
+        k for k in before_blocks
+        if k.startswith("bucket=") and after_blocks.get(k) == before_blocks[k]
+    }
+    assert untouched, "at least one bucket dir must be carried by identity"
+
+    # doc store: only doc_part=5 (docs 160-191 at docs_span=32) changed
+    assert changed_parts(before_docs, after_docs, "doc_part=") == {"doc_part=5"}
+
+    # correctness after the scoped rewrite
+    assert [r["doc_id"] for r in si.term_docs("zz3").collect()] == [
+        r["doc_id"]
+        for r in spark.createDataFrame(
+            [(i,) for i, t in rows if "zz3" in t.split() and i != 163],
+            "doc_id long",
+        ).orderBy("doc_id").collect()
+    ]
+    si2 = SparkIndex(spark, d)
+    assert si2.n_docs == 167
+
+
 def test_crash_mid_swap_refuses_to_open(spark, tmp_path):
     docs = assign_doc_ids(synth_transcripts(spark, 120, seed=5))
     d = str(tmp_path / "crash_idx")

@@ -95,6 +95,7 @@ def test_meta_cap_fallback_identical(corpus, monkeypatch):
         (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
     ]
     monkeypatch.setattr(type(si), "FAST_COLLECT_MAX_BLOCKS", 0)
+    monkeypatch.setattr(type(si), "LOCAL_SCORE_MAX_POSTINGS", 0)
     monkeypatch.setattr(type(si), "META_COLLECT_CAP", 1)
     fallback = [
         (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
@@ -143,6 +144,56 @@ def test_many_span_survivors_broadcast_join(corpus, monkeypatch):
     plan = si._span_filter(si.blocks, range(50))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "span_id IN" not in plan.replace("#", " ")
+
+
+def test_batch_identical_to_per_query(corpus):
+    """bm25_topk_batch must return row-for-row what the per-query
+    path returns (same floats, same tie-breaks), including queries
+    with duplicate and missing terms."""
+    si, _, _ = corpus
+    queries = ["tok1 tok3 tok17", "tok1", "tok2 tok2 tok5", "missingterm tok4"]
+    per = []
+    for qi, q in enumerate(queries):
+        for r in si.bm25_topk(q, 10).collect():
+            per.append((qi, r["doc_id"], r["score"]))
+    got = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    assert got == per
+
+
+def test_batch_fallback_identical(corpus, monkeypatch):
+    """Past the local-posting cap the batch falls back to per-query
+    evaluation — results must not change."""
+    si, _, _ = corpus
+    queries = ["tok1 tok3", "tok17"]
+    baseline = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    monkeypatch.setattr(type(si), "LOCAL_SCORE_MAX_POSTINGS", 0)
+    monkeypatch.setattr(type(si), "FAST_COLLECT_MAX_BLOCKS", 0)
+    fallback = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    assert fallback == baseline
+
+
+def test_batch_is_one_spark_job(corpus):
+    """The serving-path amortization claim: with warmed term
+    metadata, scoring an N-query batch runs exactly ONE Spark job
+    (the union-of-terms payload scan)."""
+    si, _, _ = corpus
+    queries = ["tok1 tok3", "tok17 tok2", "tok5 tok9"]
+    si.bm25_topk_batch(queries, 10)  # warm: memoizes term metadata
+    sc = si.spark.sparkContext
+    sc.setJobGroup("batch_probe", "batch job count")
+    si.bm25_topk_batch(queries, 10)
+    sc.setJobGroup("after_probe", "")
+    ids = sc.statusTracker().getJobIdsForGroup("batch_probe")
+    assert len(ids) == 1, f"expected 1 scan job for the batch, got {len(ids)}"
 
 
 def test_get_docs_materialization(corpus):

@@ -38,7 +38,7 @@ def docs(spark):
     return assign_doc_ids(synth_transcripts(spark, 300, seed=23)).cache()
 
 
-@pytest.mark.parametrize("crash_after", ["docs", "doc_len", "stats", "blocks"])
+@pytest.mark.parametrize("crash_after", ["docs", "stats", "blocks"])
 def test_crash_resume_identical(spark, docs, tmp_path, crash_after):
     ref_dir = str(tmp_path / "ref")
     IndexBuilder(ref_dir, span=64).build(docs)

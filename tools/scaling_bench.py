@@ -20,6 +20,13 @@ Methodology notes (all verified empirically on this sandbox):
   cluster those are node-local disks whose aggregate bandwidth scales
   with node count; the sandbox's one shared virtio disk does not, so
   leaving them on disk would measure the disk, not the engine.
+- **Decomposition is MEASURED per run** (not calibrated once and
+  pasted): every trial also times three stripped-down jobs over the
+  same input — pure-JVM shuffle+sort, scan+tokenize+explode (JVM
+  only), and the same plus an identity Arrow round-trip — so the
+  report's leg-by-leg efficiency ladder comes from the trials it
+  describes, and per-stage build durations come from the build
+  manifest of each trial.
 
 Runs the full index build + BM25 query workload in a fresh
 subprocess per trial (separate JVMs so the level is honest),
@@ -33,7 +40,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -44,7 +50,7 @@ WORKER = r"""
 import json, os, shutil, sys, time, threading, statistics
 sys.path.insert(0, {repo!r})
 from neosearch_spark.session import get_spark
-from neosearch_spark.build import IndexBuilder
+from neosearch_spark.build import IndexBuilder, _occurrence_stream
 from neosearch_spark.docids import assign_doc_ids
 from neosearch_spark.query import SparkIndex
 from neosearch_spark.synth import synth_transcripts
@@ -92,12 +98,15 @@ t0 = time.time()
 docs = assign_doc_ids(spark.read.parquet(corpus))
 IndexBuilder(idx, exact_fields=["role", "tool"]).build(docs)
 build_sec = time.time() - t0
+stage_sec = {{
+    s: e["duration_sec"]
+    for s, e in json.load(open(idx + "/manifest.json"))["stages"].items()
+}}
 
-# pure-JVM shuffle+sort calibration: same shape as the build's core
-# phase (hash exchange + sort, no Python) — its 2c->8c ratio is the
-# hardware ceiling for shuffle/sort workloads on this shared box
-# (memory bandwidth + SMT), tighter than the compute-only xxhash
-# ceiling.  30M rows ~ the 3M-turn occurrence stream.
+# --- measured decomposition legs (same input, stripped jobs) ---
+# leg A: pure-JVM shuffle+sort, same shape as the build's core phase
+# (hash exchange + sort, no Python) — the hardware ceiling for
+# shuffle/sort workloads on this shared box
 t0 = time.time()
 (spark.range(30_000_000)
  .selectExpr("(id * 2654435761) % 1000000 as k", "id")
@@ -105,6 +114,27 @@ t0 = time.time()
  .sortWithinPartitions("k", "id")
  .write.format("noop").mode("overwrite").save())
 calib_sec = time.time() - t0
+
+# leg B: the build's real map side — parquet scan + tokenize +
+# explode (pure JVM, no shuffle, no Python)
+docs_c = assign_doc_ids(spark.read.parquet(corpus))
+occ_shape = lambda: _occurrence_stream(
+    docs_c, ["text"], ["role", "tool"], include_whole=False,
+    field_codes={{"text": 0, "role": 1, "tool": 2}},
+)
+t0 = time.time()
+occ_shape().write.format("noop").mode("overwrite").save()
+calib_scan_sec = time.time() - t0
+
+# leg C: leg B + an identity Arrow round-trip (JVM -> Arrow ->
+# Python -> Arrow -> JVM at full data volume, no numpy work) — the
+# marginal cost of the Python boundary itself
+occ = occ_shape()
+t0 = time.time()
+occ.mapInArrow(lambda it: it, schema=occ.schema).write.format(
+    "noop"
+).mode("overwrite").save()
+calib_arrow_sec = time.time() - t0
 
 si = SparkIndex(spark, idx, cache=True)
 qs = ["tok1 tok3 tok17", "tok2 tok9 tok100 tok5000", "tok1"]
@@ -115,6 +145,16 @@ res = []
 for q in qs:
     res.append([(r["doc_id"], round(r["score"], 9)) for r in si.bm25_topk(q, 10).collect()])
 query_sec = time.time() - t0
+# batch serving path: the same 3 queries in ONE Spark job
+si.bm25_topk_batch(qs, 10).collect()  # warm
+t0 = time.time()
+batch_rows = si.bm25_topk_batch(qs, 10).collect()
+batch_query_sec = time.time() - t0
+batch_res = [
+    [(r["doc_id"], round(r["score"], 9)) for r in batch_rows if r["query_id"] == i]
+    for i in range(len(qs))
+]
+assert batch_res == res, "batch results diverge from per-query results"
 # content signature: same index at any parallelism (part_id — the
 # physical lineage column — excluded by design)
 sig = (
@@ -126,8 +166,10 @@ sig = (
 stop = True
 shutil.rmtree(idx, ignore_errors=True)
 json.dump({{"cores": cores, "build_sec": build_sec, "query_sec": query_sec,
+           "batch_query_sec": batch_query_sec,
            "turns_per_sec": n_turns / build_sec, "sig": str(sig),
-           "calib_sec": calib_sec,
+           "calib_sec": calib_sec, "calib_scan_sec": calib_scan_sec,
+           "calib_arrow_sec": calib_arrow_sec, "stage_sec": stage_sec,
            "steal_avg": round(statistics.mean(steal), 2) if steal else 0.0,
            "steal_max": round(max(steal), 2) if steal else 0.0,
            "results": res}}, open(out, "w"))
@@ -178,23 +220,39 @@ def main() -> None:
 
     lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
-    eff = (hi["turns_per_sec"] / (hi_n / lo_n)) / lo["turns_per_sec"]
+    ratio = hi_n / lo_n
+    eff = (hi["turns_per_sec"] / ratio) / lo["turns_per_sec"]
     q_speedup = lo["query_sec"] / hi["query_sec"]
-    calib_lo = min(r["calib_sec"] for r in lo_runs)
-    calib_hi = min(r["calib_sec"] for r in hi_runs)
-    calib_eff = (calib_lo / calib_hi) / (hi_n / lo_n)
+    bq_speedup = lo["batch_query_sec"] / hi["batch_query_sec"]
+
+    def leg_eff(key: str) -> tuple[float, float, float]:
+        a = min(r[key] for r in lo_runs)
+        b = min(r[key] for r in hi_runs)
+        return a, b, (a / b) / ratio
+
+    calib_lo, calib_hi, calib_eff = leg_eff("calib_sec")
+    scan_lo, scan_hi, scan_eff = leg_eff("calib_scan_sec")
+    arrow_lo, arrow_hi, arrow_eff = leg_eff("calib_arrow_sec")
+
+    stage_rows = []
+    for s in lo["stage_sec"]:
+        a, b = lo["stage_sec"][s], hi["stage_sec"].get(s, 0.0)
+        stage_rows.append(
+            f"| {s} | {a:.1f} | {b:.1f} | {(a / b) / ratio:.2f} |" if b else ""
+        )
+    stage_tbl = "\n".join(r for r in stage_rows if r)
 
     def fmt_runs(runs):
         return ", ".join(f"{r['turns_per_sec']:,.0f}" for r in runs)
 
-    md = f"""# BENCH/BASELINE — measured numbers (round 2)
+    md = f"""# BENCH/BASELINE — measured numbers (round 3)
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/scaling_bench.py.
 Input: deterministic synthetic transcripts, {n_turns:,} turns (seed 42),
 identical at both levels, materialized to parquet before the timed
 region; index content signatures verified identical across ALL
 trials and levels; BM25 top-10 results verified identical (rank +
-scores to 9dp).
+scores to 9dp), per-query AND through the batch API.
 
 ## Two-cluster-size scaling evidence (north_rule, sandbox substitute)
 
@@ -217,39 +275,49 @@ test: on a real cluster those are node-local disks that scale with
 node count, which the sandbox's one shared virtio disk cannot
 represent.
 
-| level | cores | build sec | turns/sec | all trials (tps) | steal avg/max % | shuffle-sort calib sec | 3-query BM25 sec |
-|---|---|---|---|---|---|---|---|
-| N  | {lo_n} | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {fmt_runs(lo_runs)} | {lo['steal_avg']}/{lo['steal_max']} | {calib_lo:.2f} | {lo['query_sec']:.2f} |
-| 4N | {hi_n} | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {fmt_runs(hi_runs)} | {hi['steal_avg']}/{hi['steal_max']} | {calib_hi:.2f} | {hi['query_sec']:.2f} |
+| level | cores | build sec | turns/sec | all trials (tps) | steal avg/max % | 3-query BM25 sec (per-query / batch) |
+|---|---|---|---|---|---|---|
+| N  | {lo_n} | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {fmt_runs(lo_runs)} | {lo['steal_avg']}/{lo['steal_max']} | {lo['query_sec']:.2f} / {lo['batch_query_sec']:.2f} |
+| 4N | {hi_n} | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {fmt_runs(hi_runs)} | {hi['steal_avg']}/{hi['steal_max']} | {hi['query_sec']:.2f} / {hi['batch_query_sec']:.2f} |
 
-- **Scaling efficiency (build)** = (turns/sec@{hi_n} ÷ {hi_n // lo_n}) / turns/sec@{lo_n} =
-  **{eff:.3f}** (target ≥ 0.8 — not met on this single-box
-  substitute; see the decomposition below for exactly where and why)
-- **Where the sub-linearity lives** (pinned decomposition at 6M
-  turns, measured this session): the in-harness pure-JVM
-  shuffle+sort calibration scales at **{calib_eff:.2f}**; adding the
-  real parquet text scan + tokenize + explode (still pure JVM) =
-  **0.92**; adding the Arrow↔Python block-encoder leg = **0.84**;
-  the full build with all table writes = measured above.  The
-  engine's PLAN has no cross-task serialization (one bounded-group
-  shuffle, no driver funnel, no unbounded collect): the remainder is
-  (a) the JVM↔Python Arrow boundary — each of the N task slots runs
-  a JVM thread AND a Python worker, so the slots timeshare cores
-  harder as N grows on one box — and (b) parquet write/commit
-  constants.  Both are PER-EXECUTOR resources on a real cluster:
-  each executor brings its own cores for its own Python workers,
-  its own page cache, and its own node-local disks, so composition
-  per executor is constant from N to 4N executors.
-- Both levels improved in absolute terms over round 1 (8 cores:
-  66.5k → {hi['turns_per_sec']:,.0f} turns/s; 2 cores: 22.3k →
-  {lo['turns_per_sec']:,.0f}).  Round 1's 0.755 efficiency was
-  measured UNPINNED — its 2-core level leaked Python workers and JVM
-  service threads onto idle cores, deflating the small-level
-  baseline's true per-core speed; the pinned methodology used here
-  is stricter and honest.
-- Query speedup {lo_n}→{hi_n} cores: {q_speedup:.2f}x
+- **Scaling efficiency (build)** = (turns/sec@{hi_n} ÷ {ratio:.0f}) /
+  turns/sec@{lo_n} = **{eff:.3f}** (target ≥ 0.8)
+
+## Measured decomposition (same trials, not a one-off calibration)
+
+Each trial also runs three stripped jobs over the same input; best
+time per level, efficiency = (sec@{lo_n} ÷ sec@{hi_n}) ÷ {ratio:.0f}:
+
+| leg | {lo_n}c sec | {hi_n}c sec | efficiency |
+|---|---|---|---|
+| pure-JVM shuffle+sort (30M rows, no Python) | {calib_lo:.1f} | {calib_hi:.1f} | {calib_eff:.2f} |
+| parquet scan + tokenize + explode (JVM only) | {scan_lo:.1f} | {scan_hi:.1f} | {scan_eff:.2f} |
+| + identity Arrow round-trip (JVM↔Python boundary) | {arrow_lo:.1f} | {arrow_hi:.1f} | {arrow_eff:.2f} |
+| full build (all stages + table writes) | {lo['build_sec']:.1f} | {hi['build_sec']:.1f} | {eff:.2f} |
+
+Per-stage build wall-clock (best trial per level, from the build
+manifest's per-stage durations):
+
+| stage | {lo_n}c sec | {hi_n}c sec | efficiency |
+|---|---|---|---|
+{stage_tbl}
+
+The engine's PLAN has no cross-task serialization (one bounded-group
+shuffle, no driver funnel, no unbounded collect); the residual
+between the Arrow leg and the full build is parquet write/commit
+constants plus the JVM↔Python timesharing under pinning — on a real
+cluster both are PER-EXECUTOR resources (each executor brings its
+own cores for its Python workers, its own page cache, its own
+node-local disks), so composition per executor is constant from N to
+4N executors.
+
+- Query speedup {lo_n}→{hi_n} cores: {q_speedup:.2f}x per-query,
+  **{bq_speedup:.2f}x batched** (bm25_topk_batch: 3 queries per Spark
+  job — the serving-path fix for round 2's 0.66x; per-query serving
+  is driver-coordination-bound by design, the batch API is the
+  scale path)
 - Determinism across levels AND trials: index signature match = True,
-  query rank+score match = True
+  query rank+score match = True (per-query ≡ batch asserted in-trial)
 
 ## Reference comparison
 
@@ -270,6 +338,12 @@ turns/sec on {hi_n} local cores ({n_turns:,} turns).
                 "hi": hi["turns_per_sec"],
                 "lo_all": [round(r["turns_per_sec"]) for r in lo_runs],
                 "hi_all": [round(r["turns_per_sec"]) for r in hi_runs],
+                "legs": {
+                    "shuffle_sort": round(calib_eff, 3),
+                    "scan_tokenize": round(scan_eff, 3),
+                    "arrow_boundary": round(arrow_eff, 3),
+                },
+                "batch_query_speedup": round(bq_speedup, 2),
             }
         )
     )
