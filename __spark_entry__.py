@@ -311,6 +311,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_q1"] = rel_q1
 
+    def rel_q6(s, d):
+        # float-typed predicates (l_discount/l_quantity DOUBLE) pushed
+        # to the parquet scan — the reference's <field>_float.idx
+        # delegation (index.go:433-440), exercised under the oracle
+        li = _t(s, d, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & F.col("l_discount").between(0.05, 0.07)
+                & (F.col("l_quantity") < 24)
+            ).agg(
+                F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+
+    q["rel_q6"] = rel_q6
+
     def rel_topk_per_group(s, d):
         from pyspark.sql import Window
 
@@ -588,6 +607,11 @@ SELECT l_returnflag, l_linestatus,
   count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+    o["rel_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
     o["rel_topk_per_group"] = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey,

@@ -179,6 +179,25 @@ def _occurrence_stream(
     return allt
 
 
+def apply_date_fields(docs: DataFrame, date_fields: dict | None) -> DataFrame:
+    """Per-field date-format metadata (reference ``index.go:556-574``:
+    a string field with a ``format`` metadata entry parses with that
+    layout — default layout when None — and is indexed as the
+    integer epoch, NOT the raw string; golden
+    ``index_metadata_test.go:56-75``).  Spark analog: parse with
+    ``to_timestamp(col, fmt)`` (Spark datetime patterns instead of Go
+    layout strings — the public equivalent) and index the term as the
+    epoch-MICROS string (the reference stores UnixNano int64 — micros
+    is Spark's native timestamp integer; same key-order property).
+    Applies only to the INDEXED value — the stored document keeps the
+    raw string, exactly like the reference's document.db.  Top-level
+    string columns only."""
+    for f, fmt in (date_fields or {}).items():
+        ts = F.to_timestamp(F.col(f), fmt) if fmt else F.to_timestamp(F.col(f))
+        docs = docs.withColumn(f, F.unix_micros(ts).cast("string"))
+    return docs
+
+
 def _is_array_field(docs: DataFrame, f: str) -> bool:
     """True when the (possibly dotted struct-path) field resolves to
     array<string> — reference element-wise array indexing
@@ -825,6 +844,7 @@ class IndexBuilder:
         hot_dict_min_rows: int | None = None,
         n_hot: int = 65536,
         n_buckets: int = 32,
+        date_fields: dict[str, str | None] | None = None,
     ):
         """hot_dict_min_rows: corpora at or above this row count use
         the hot-term shuffle dictionary; None (default) disables it.
@@ -840,6 +860,11 @@ class IndexBuilder:
         self.index_dir = index_dir
         self.analyzed_fields = analyzed_fields or ["text"]
         self.exact_fields = exact_fields or []
+        # {field: spark datetime pattern or None} — parsed to epoch-
+        # micros terms at index time (apply_date_fields); the field
+        # is indexed like an exact field, the doc store keeps the raw
+        # string (reference index.go:556-574 semantics)
+        self.date_fields = dict(date_fields or {})
         self.span = span
         self.hot_dict_min_rows = hot_dict_min_rows
         self.n_hot = n_hot
@@ -912,6 +937,7 @@ class IndexBuilder:
         m["params"] = {
             "analyzed_fields": self.analyzed_fields,
             "exact_fields": self.exact_fields,
+            "date_fields": self.date_fields,
             "span": self.span,
             "k1": K1,
             "b": B,
@@ -934,7 +960,8 @@ class IndexBuilder:
             n_rows = docs.count()
         fp = (
             f"v{INDEX_FORMAT_VERSION};n={n_rows};"
-            f"fields={self.analyzed_fields}+{self.exact_fields};span={self.span}"
+            f"fields={self.analyzed_fields}+{self.exact_fields}"
+            f"+{sorted(self.date_fields.items())};span={self.span}"
         )
 
         def stop(stage: str) -> bool:
@@ -1043,11 +1070,18 @@ class IndexBuilder:
             docs_in = docs_t
             if docs_in.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
                 docs_in = docs_in.repartition(nparts)
+            # date-format metadata: parse configured string date
+            # fields to epoch-micros terms for INDEXING only (the doc
+            # store above kept the raw strings)
+            docs_in = apply_date_fields(docs_in, self.date_fields)
+            exact_all = self.exact_fields + [
+                f for f in self.date_fields if f not in self.exact_fields
+            ]
             # range boundaries for the bucketed block layout: one
             # cheap sampled job; persisted in the manifest so every
             # query computes the identical bucket driver-side
             boundaries = sample_term_boundaries(
-                docs_in, self.analyzed_fields, self.exact_fields,
+                docs_in, self.analyzed_fields, exact_all,
                 n_rows, n_buckets=self.n_buckets,
             )
             m["params"]["bucket_boundaries"] = boundaries
@@ -1062,11 +1096,11 @@ class IndexBuilder:
             # the vocabulary is billions strong but the dictionary
             # stays 64 K entries.  ~40% fewer shuffle/sort bytes per
             # row and int sort keys for the hot majority.
-            fields = self.analyzed_fields + self.exact_fields
+            fields = self.analyzed_fields + exact_all
             field_codes = {f: i for i, f in enumerate(fields)}
             vocab: list[str] = (
                 hot_terms(
-                    docs_in, self.analyzed_fields, self.exact_fields,
+                    docs_in, self.analyzed_fields, exact_all,
                     n_rows, n_hot=self.n_hot,
                 )
                 if self.hot_dict_min_rows is not None
@@ -1074,7 +1108,7 @@ class IndexBuilder:
                 else []
             )
             occ = _occurrence_stream(
-                docs_in, self.analyzed_fields, self.exact_fields,
+                docs_in, self.analyzed_fields, exact_all,
                 include_whole=False, field_codes=field_codes,
             )
             # HASH partition by the block key, then sort within

@@ -290,9 +290,18 @@ def delete_docs(
         )
 
     # --- affected (field, term, span) groups from the deleted docs'
-    # own content — O(d · terms/doc), no index probe
+    # own content — O(d · terms/doc), no index probe.  Date-metadata
+    # fields re-parse exactly like the build did so their epoch terms
+    # match.
+    from .build import apply_date_fields
+
+    date_fields = p.get("date_fields") or {}
+    exact_all = exact_fields + [f for f in date_fields if f not in exact_fields]
     occ = _occurrence_stream(
-        deleted_docs, analyzed_fields, exact_fields, include_whole=True
+        apply_date_fields(deleted_docs, date_fields),
+        analyzed_fields,
+        exact_all,
+        include_whole=True,
     )
     affected = occ.select(
         "field", "term", F.expr(f"doc_id div {span}").alias("span_id")

@@ -139,17 +139,35 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of ``n_planes``
     fixed random projections.  Deterministic planes from a seeded
-    numpy RNG are baked into the plan as literals (broadcast-free —
-    they're part of the closure/expression).  Near vectors collide
-    with probability 1 - θ/π per plane."""
+    numpy RNG.  Small plane sets bake into the plan as literals
+    (broadcast-free); past EXPR_CENTROID_MAX_CELLS cells the sign
+    pattern computes as one numpy matmul per Arrow batch instead
+    (plan size O(1) — same blow-up guard as ``assign_centroids``).
+    Near vectors collide with probability 1 - θ/π per plane."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-        d = _dot(F.col(vec_col), plane)
-        sig = sig + F.when(d > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
-    return vectors.select(id_col, sig.alias("bucket"))
+    if planes.size <= EXPR_CENTROID_MAX_CELLS:
+        sig = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+            d = _dot(F.col(vec_col), plane)
+            sig = sig + F.when(d > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+        return vectors.select(id_col, sig.alias("bucket"))
+
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bucket = ((m @ pl.T) > 0) @ pows
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, bucket long"
+    )
 
 
 def lsh_bucketed_pairs(
@@ -187,7 +205,10 @@ def _nearest_centroid(vec_col: F.Column, centroids: np.ndarray) -> F.Column:
     """cid of the nearest centroid by dot product, as one codegen'd
     expression: F.greatest over (dot, cid) structs — no join, single
     pass.  Ties break to the larger cid (struct comparison order) —
-    deterministic."""
+    deterministic.  Only used below EXPR_CENTROID_MAX_CELLS: the
+    expression embeds n_centroids × dim literals, and Catalyst
+    plan/codegen size blows up past ~a few thousand cells — larger
+    quantizers route through the numpy path (``assign_centroids``)."""
     structs = [
         F.struct(
             _dot(vec_col, F.array(*[F.lit(float(x)) for x in centroids[c]])).alias("d"),
@@ -196,6 +217,52 @@ def _nearest_centroid(vec_col: F.Column, centroids: np.ndarray) -> F.Column:
         for c in range(len(centroids))
     ]
     return F.greatest(*structs)["cid"]
+
+
+# above this many centroid cells (n_centroids × dim) the literal
+# expression tree is replaced by a BLAS matmul in mapInPandas — plan
+# size stays O(1) no matter how large the quantizer gets
+EXPR_CENTROID_MAX_CELLS = 32 * 128
+
+
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All input columns + ``cid`` (nearest centroid by dot product,
+    ties to the larger cid).  Small quantizers use the codegen'd
+    expression; large ones a vectorized numpy matmul per Arrow batch
+    (mapInPandas — plan size independent of n_centroids × dim).  Both
+    paths are deterministic; the path choice is a pure function of
+    the quantizer size, so every caller of the same quantizer gets
+    the same assignment."""
+    if centroids.size <= EXPR_CENTROID_MAX_CELLS:
+        return vectors.withColumn("cid", _nearest_centroid(F.col(vec_col), centroids))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    n_c = cents.shape[0]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = m @ cents.T
+            # ties break to the LARGER cid (parity with the struct-
+            # greatest expression): argmax over the reversed columns
+            # finds the last maximum
+            cid = n_c - 1 - dots[:, ::-1].argmax(axis=1)
+            yield pdf.assign(cid=cid.astype(np.int32))
+
+    # fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema object and corrupt the input plan
+    schema = StructType(
+        list(vectors.schema.fields) + [StructField("cid", IntegerType())]
+    )
+    return vectors.mapInPandas(run, schema=schema)
 
 
 def ivf_train_centroids(
@@ -214,10 +281,9 @@ def ivf_train_centroids(
     centroids = rng.standard_normal((n_centroids, dim))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     for _ in range(n_iters):
-        assigned = vectors.select(
-            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
-            F.col(vec_col).alias("v"),
-        )
+        assigned = assign_centroids(
+            vectors.select(F.col(vec_col).alias("v")), centroids, vec_col="v"
+        ).select("cid", "v")
         sums = (
             assigned.groupBy("cid")
             .agg(
@@ -253,9 +319,9 @@ def ivf_topk(
     prunes to ~nprobe/n_centroids of the data before any vector math."""
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = np.argsort(-(centroids @ qv))[:nprobe].tolist()
-    in_probe = vectors.where(
-        _nearest_centroid(F.col(vec_col), centroids).isin(probe)
-    )
+    in_probe = assign_centroids(vectors, centroids, vec_col).where(
+        F.col("cid").isin(probe)
+    ).drop("cid")
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     cos = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * _norm(qlit))
     if round_to is not None:

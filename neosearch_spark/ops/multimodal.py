@@ -71,19 +71,28 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim)
 
 
-def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 32, decoder=None) -> DataFrame:
     """mapInPandas feature extraction: batches of binary payloads →
     float feature arrays; metadata columns ride along untouched.
+
+    ``decoder``: an INJECTABLE ``(payload_bytes, dim) -> np.ndarray``
+    callable — a real implementation (PIL/ffmpeg) drops in without
+    touching the engine (it is serialized into the task closure like
+    any pandas-UDF dependency; see REAL_DECODER_NOTE).  Defaults to
+    the deterministic stub because image/audio libraries are not in
+    this container.
 
     At scale: binary payloads dominate partition size — pair this
     with ``spark.sql.files.maxPartitionBytes`` tuned to ~128 MB and
     avoid wide shuffles after decode (project features, drop
     payload as early as possible — done here)."""
+    decode = decoder or _fake_decode
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _fake_decode(p, dim).astype(np.float64) for p in pdf["payload"]
+                np.asarray(decode(p, dim), dtype=np.float64)
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {

@@ -252,6 +252,17 @@ class SparkIndex:
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
 
+    def date_docs(self, field: str, value: str, fmt: str | None = None) -> DataFrame:
+        """Exact-date lookup on a date-metadata field (reference
+        ``index.go:556-574``: date fields index their parsed epoch,
+        not the raw string).  Parses ``value`` with the SAME Spark
+        expression the build used (one row-local job — parser parity
+        beats driver-side reimplementation) and looks up the
+        epoch-micros term."""
+        ts = F.to_timestamp(F.lit(value), fmt) if fmt else F.to_timestamp(F.lit(value))
+        us = self.spark.range(1).select(F.unix_micros(ts).alias("us")).collect()[0]["us"]
+        return self.term_docs(str(us), field=field)
+
     def range_docs(self, lo: int, hi: int) -> DataFrame:
         """Numeric range scan over the doc store (the reference's
         big-endian LSM key-order range scan, ``engine_test.go:

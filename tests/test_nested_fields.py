@@ -116,3 +116,41 @@ def test_analyzed_array_field(spark, tmp_path):
     ).collect()
     tfs = [int(t) for b in tf_blocks for t in decode_tfs(b["tfs_enc"])]
     assert tfs == [2]
+
+
+def test_date_format_metadata_golden(spark, tmp_path):
+    """Mirror of the reference's date-metadata golden
+    (``index_metadata_test.go:56-75`` + ``index.go:556-574``): a
+    string date field with a format entry indexes its PARSED epoch —
+    not the raw string — while the doc store keeps the raw value."""
+    rows = [
+        (0, "neoway business solution", "2015-01-10"),
+        (1, "google inc", "2016-03-04"),
+        (2, "facebook company", "2015-01-10"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, created string")
+    d = str(tmp_path / "date_idx")
+    IndexBuilder(d, span=32, date_fields={"created": "yyyy-MM-dd"}).build(docs)
+    si = SparkIndex(spark, d)
+
+    micros_2015 = 1420848000000000  # 2015-01-10T00:00:00Z in micros
+    created_terms = {
+        r["term"]
+        for r in si.terms.where(F.col("field") == "created").select("term").collect()
+    }
+    assert str(micros_2015) in created_terms
+    assert "2015-01-10" not in created_terms
+
+    assert [
+        r["doc_id"]
+        for r in si.date_docs("created", "2015-01-10", "yyyy-MM-dd").collect()
+    ] == [0, 2]
+    assert [
+        r["doc_id"]
+        for r in si.date_docs("created", "2016-03-04", "yyyy-MM-dd").collect()
+    ] == [1]
+
+    # document.db parity: the stored doc keeps the raw string
+    assert (
+        si.docs.where(F.col("doc_id") == 0).collect()[0]["created"] == "2015-01-10"
+    )

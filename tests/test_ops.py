@@ -203,3 +203,72 @@ def test_jaccard_df_cap_excludes_hot_token(spark):
     assert set(capped) == {(1, 3)}
     assert capped[(1, 3)] == 1.0
     assert uncapped[(1, 3)] == 1.0
+
+
+def test_ivf_large_quantizer_numpy_path(spark):
+    """64-centroid × 256-dim quantizer: assignment must route through
+    the mapInPandas matmul (no 64-struct ``greatest`` expression —
+    the Catalyst plan/codegen blow-up guard) and stay exact under a
+    full probe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n, dim = 300, 256
+    rng = np.random.default_rng(5)
+    data = [(int(i), rng.standard_normal(dim).tolist()) for i in range(n)]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    cents = ann.ivf_train_centroids(vecs, n_centroids=64, n_iters=1, dim=dim)
+    assert cents.shape == (64, dim)
+    assigned = ann.assign_centroids(vecs, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "greatest" not in plan.lower()
+
+    qv = np.asarray(data[0][1], dtype=np.float64)
+    exact = [r["vec_id"] for r in ann.cosine_topk(vecs, 0, k=10).collect()]
+    full_probe = [
+        r["vec_id"]
+        for r in ann.ivf_topk(
+            vecs.where(F.col("vec_id") != 0), qv, cents, k=10, nprobe=64
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_lsh_large_plane_set_numpy_path(spark, vectors):
+    """Past the literal-expression cap the LSH signature computes as
+    a numpy matmul; bucketing stays deterministic."""
+    import numpy as np
+
+    big = ann.hyperplane_lsh_buckets(vectors, n_planes=16, seed=3, dim=8)
+    # force the numpy path by shrinking the cap
+    old = ann.EXPR_CENTROID_MAX_CELLS
+    ann.EXPR_CENTROID_MAX_CELLS = 1
+    try:
+        np_path = ann.hyperplane_lsh_buckets(vectors, n_planes=16, seed=3, dim=8)
+        a = {r["vec_id"]: r["bucket"] for r in big.collect()}
+        b = {r["vec_id"]: r["bucket"] for r in np_path.collect()}
+        assert a == b
+    finally:
+        ann.EXPR_CENTROID_MAX_CELLS = old
+
+
+def test_multimodal_injected_decoder(spark):
+    """The decode seam: a caller-supplied decoder callable replaces
+    the stub without touching the engine (schema, batching, plumbing
+    unchanged)."""
+    import numpy as np
+
+    media = multimodal.synth_media(spark, 20, seed=2)
+
+    def hist_decoder(payload: bytes, dim: int):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return np.bincount(arr % dim, minlength=dim).astype(np.float64)
+
+    got = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, dim=16, decoder=hist_decoder).collect()
+    }
+    for r in media.collect():
+        want = hist_decoder(bytes(r["payload"]), 16)
+        assert got[r["media_id"]] == want.tolist()

@@ -139,3 +139,26 @@ def test_bucket_partition_pruning(idx):
     )
     for r in got:
         assert r["bucket"] == idx._bucket_of(r["term"]), r["term"]
+
+
+def test_float_bool_predicates_pushed(spark, tmp_path):
+    """Typed float and bool predicates reach the parquet scan — the
+    delegation that replaces the reference's ``<field>_float.idx`` /
+    ``<field>_bool.idx`` typed inverted indexes (``index.go:419-440``:
+    numeric/bool keys exist only to make typed lookups cheap on the
+    LSM; Catalyst predicate pushdown + row-group stats provide the
+    same property natively)."""
+    p = str(tmp_path / "typed_tbl")
+    spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 0.5).alias("score"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p).where((F.col("score") >= 10.0) & F.col("flag"))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(score,10.0)" in plan
+    assert "EqualTo(flag,true)" in plan
+    assert sorted(r["id"] for r in df.collect()) == [
+        i for i in range(100) if i * 0.5 >= 10.0 and i % 2 == 0
+    ]
