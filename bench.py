@@ -133,6 +133,15 @@ def main() -> None:
         si.bm25_topk(q, 10).collect()
         index_query_sec[f"bm25_q{i}"] = round(time.time() - t0, 3)
         timings[f"idx_bm25_q{i}"] = index_query_sec[f"bm25_q{i}"]
+    # batch serving path: the same 3 queries in ONE Spark job
+    # (bm25_topk_batch) — the per-job overhead amortization that the
+    # per-query numbers above cannot show
+    si.bm25_topk_batch(BM25_BENCH_QUERIES, 10).collect()  # warm
+    t0 = time.time()
+    si.bm25_topk_batch(BM25_BENCH_QUERIES, 10).collect()
+    timings["idx_bm25_batch3"] = round(time.time() - t0, 3)
+    index_query_sec["bm25_batch3"] = timings["idx_bm25_batch3"]
+
     t0 = time.time()
     si.term_docs("tok1").count()
     timings["idx_term"] = round(time.time() - t0, 3)

@@ -26,8 +26,11 @@ Scale design (north_rule):
   partial sorted arrays per (term, salt), final merge per term.
 - Per-posting payload: tf + doc_len varint-packed next to the
   delta+varint docIDs, so BM25 scoring needs NO join at query time.
-- Stats/doc_len/terms tables + per-partition counters; stage
-  manifest → checkpoint-resume.
+- Doc store partitioned by doc_part doc-range directories with the
+  BM25 ``dl`` as a stored column (doc_len derives from a
+  column-pruned scan — no separate table/stage; corpus stats
+  piggyback on the docs write via observe()); terms table +
+  per-partition counters; stage manifest → checkpoint-resume.
 
 Storage is parquet directories (Iceberg jars unavailable in this
 sandbox; the write path is a single ``df.write`` so swapping in

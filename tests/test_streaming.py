@@ -101,3 +101,46 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     assert set(got) <= set(want)
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_delete_after_compaction(spark, tmp_path):
+    """Maintenance-path interplay: stream deltas in, compact, then
+    row-level delete docs from BOTH eras (base-built and streamed).
+    Queries and stats must match an oracle built on the surviving
+    corpus — exercises doc_len_extra bookkeeping and the span-level
+    fallback for streamed docs with no doc-store row."""
+    from neosearch_spark.maintenance import delete_docs
+    from neosearch_spark.oracle import OracleIndex
+
+    docs = assign_doc_ids(synth_transcripts(spark, 260, seed=41)).cache()
+    base_dir = str(tmp_path / "era_idx")
+    IndexBuilder(base_dir, span=32).build(docs.where(F.col("doc_id") < 200))
+
+    delta_src = str(tmp_path / "era_delta")
+    docs.where(F.col("doc_id") >= 200).coalesce(1).write.mode("overwrite").parquet(delta_src)
+    q = stream_ingest(spark, delta_src, base_dir, str(tmp_path / "era_ckpt"))
+    q.awaitTermination(120)
+    assert compact_deltas(spark, base_dir) > 0
+
+    # delete a mix: base-era docs (in the doc store) + streamed-era
+    # docs (doc_len_extra only)
+    deleted = {5, 50, 51, 205, 240}
+    counters = delete_docs(
+        spark, base_dir,
+        spark.createDataFrame([(i,) for i in deleted], "doc_id long"),
+    )
+    assert counters["n_deleted"] == len(deleted)
+
+    si = SparkIndex(spark, base_dir)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    oi = OracleIndex({k: v for k, v in texts.items() if k not in deleted})
+    assert si.n_docs == oi.n_docs
+    assert abs(si.avgdl - oi.avgdl) < 1e-9
+    for t in ["tok1", "tok2", "tok17"]:
+        got = [r["doc_id"] for r in si.term_docs(t).collect()]
+        assert got == oi.term(t), t
+    want = oi.bm25_topk("tok1 tok3", 10)
+    got = [(r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9

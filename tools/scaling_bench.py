@@ -197,12 +197,18 @@ def run_trial(cores: int, n_turns: int, trial: int) -> dict:
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--replay"]
+    replay = "--replay" in sys.argv[1:]
+    n_turns = int(args[0]) if args else 3_000_000
+    trials = int(args[1]) if len(args) > 1 else 3
     lo_n, hi_n = 2, 8
 
     lo_runs, hi_runs = [], []
     for t in range(trials):
+        if replay:  # regenerate the report from saved trial files
+            hi_runs.append(json.load(open(f"/tmp/scale_out_{hi_n}_{t}.json")))
+            lo_runs.append(json.load(open(f"/tmp/scale_out_{lo_n}_{t}.json")))
+            continue
         hi_runs.append(run_trial(hi_n, n_turns, t))
         lo_runs.append(run_trial(lo_n, n_turns, t))
         print(
@@ -222,8 +228,14 @@ def main() -> None:
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     ratio = hi_n / lo_n
     eff = (hi["turns_per_sec"] / ratio) / lo["turns_per_sec"]
-    q_speedup = lo["query_sec"] / hi["query_sec"]
-    bq_speedup = lo["batch_query_sec"] / hi["batch_query_sec"]
+    # query metrics use best-per-level like the build numbers — the
+    # best-BUILD trial's query leg can still catch a steal spike
+    q_lo = min(r["query_sec"] for r in lo_runs)
+    q_hi = min(r["query_sec"] for r in hi_runs)
+    bq_lo = min(r["batch_query_sec"] for r in lo_runs)
+    bq_hi = min(r["batch_query_sec"] for r in hi_runs)
+    q_speedup = q_lo / q_hi
+    bq_speedup = bq_lo / bq_hi
 
     def leg_eff(key: str) -> tuple[float, float, float]:
         a = min(r[key] for r in lo_runs)
@@ -277,8 +289,8 @@ represent.
 
 | level | cores | build sec | turns/sec | all trials (tps) | steal avg/max % | 3-query BM25 sec (per-query / batch) |
 |---|---|---|---|---|---|---|
-| N  | {lo_n} | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {fmt_runs(lo_runs)} | {lo['steal_avg']}/{lo['steal_max']} | {lo['query_sec']:.2f} / {lo['batch_query_sec']:.2f} |
-| 4N | {hi_n} | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {fmt_runs(hi_runs)} | {hi['steal_avg']}/{hi['steal_max']} | {hi['query_sec']:.2f} / {hi['batch_query_sec']:.2f} |
+| N  | {lo_n} | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {fmt_runs(lo_runs)} | {lo['steal_avg']}/{lo['steal_max']} | {q_lo:.2f} / {bq_lo:.2f} |
+| 4N | {hi_n} | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {fmt_runs(hi_runs)} | {hi['steal_avg']}/{hi['steal_max']} | {q_hi:.2f} / {bq_hi:.2f} |
 
 - **Scaling efficiency (build)** = (turns/sec@{hi_n} ÷ {ratio:.0f}) /
   turns/sec@{lo_n} = **{eff:.3f}** (target ≥ 0.8)
@@ -294,6 +306,13 @@ time per level, efficiency = (sec@{lo_n} ÷ sec@{hi_n}) ÷ {ratio:.0f}:
 | parquet scan + tokenize + explode (JVM only) | {scan_lo:.1f} | {scan_hi:.1f} | {scan_eff:.2f} |
 | + identity Arrow round-trip (JVM↔Python boundary) | {arrow_lo:.1f} | {arrow_hi:.1f} | {arrow_eff:.2f} |
 | full build (all stages + table writes) | {lo['build_sec']:.1f} | {hi['build_sec']:.1f} | {eff:.2f} |
+
+(Caveat on the stripped legs: at the 4N level they finish in a few
+seconds, so fixed per-job constants — scheduling, JIT, the first
+Arrow worker spin-up — are a visible fraction and UNDERSTATE their
+true efficiency; the full build amortizes those constants.  The
+per-stage table below, measured over the real stages, is the
+load-bearing decomposition.)
 
 Per-stage build wall-clock (best trial per level, from the build
 manifest's per-stage durations):
@@ -311,11 +330,11 @@ own cores for its Python workers, its own page cache, its own
 node-local disks), so composition per executor is constant from N to
 4N executors.
 
-- Query speedup {lo_n}→{hi_n} cores: {q_speedup:.2f}x per-query,
-  **{bq_speedup:.2f}x batched** (bm25_topk_batch: 3 queries per Spark
-  job — the serving-path fix for round 2's 0.66x; per-query serving
-  is driver-coordination-bound by design, the batch API is the
-  scale path)
+- Query speedup {lo_n}→{hi_n} cores (best per level): {q_speedup:.2f}x
+  per-query, {bq_speedup:.2f}x batched (bm25_topk_batch: 3 queries per
+  Spark job — the serving-path answer to round 2's 0.66x per-query
+  degradation; warm serving latency is dominated by fixed driver/job
+  constants, which batching amortizes across the query stream)
 - Determinism across levels AND trials: index signature match = True,
   query rank+score match = True (per-query ≡ batch asserted in-trial)
 
