@@ -102,9 +102,26 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
     if args.dry_run:
-        print(json.dumps({"dry_run": True, **idx.explain_query(args.query, k=args.k)}))
+        print(json.dumps({"dry_run": True, **idx.explain_query(args.query[0], k=args.k)}))
         return 0
-    top = idx.bm25_topk(args.query, k=args.k, prune=not args.no_prune).collect()
+    if len(args.query) > 1:
+        # query stream → ONE Spark job (the reference's REST search
+        # serves a request stream; bm25_topk_batch is its scale path)
+        rows = idx.bm25_topk_batch(args.query, k=args.k).collect()
+        out = [
+            {
+                "query": args.query[qi],
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in rows
+                    if r["query_id"] == qi
+                ],
+            }
+            for qi in range(len(args.query))
+        ]
+        print(json.dumps({"batch": out}))
+        return 0
+    top = idx.bm25_topk(args.query[0], k=args.k, prune=not args.no_prune).collect()
     print(
         json.dumps(
             {
@@ -113,6 +130,32 @@ def cmd_search(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Row-level delete (reference ``store/goleveldb/writer.go:54-65``
+    / engine delete command) — partition-scoped rewrite of touched
+    bucket/doc_part directories only."""
+    from .maintenance import delete_docs
+
+    spark = _spark(args)
+    ids = spark.createDataFrame(
+        [(int(i),) for i in args.ids.split(",")], "doc_id long"
+    )
+    counters = delete_docs(spark, args.index, ids)
+    print(json.dumps({"status": "ok", **counters}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Fold streamed tf/doc_len deltas into the block index
+    (LSM-compaction analog; partition-scoped)."""
+    from .streaming import compact_deltas
+
+    spark = _spark(args)
+    n = compact_deltas(spark, args.index)
+    print(json.dumps({"status": "ok", "touched_groups": n}))
     return 0
 
 
@@ -150,14 +193,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="print the physical plan (pushed filters) without executing")
     q.set_defaults(fn=cmd_query)
 
-    s = sub.add_parser("search", help="BM25 top-k")
+    s = sub.add_parser("search", help="BM25 top-k (repeat --query for a one-job batch)")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", required=True, action="append",
+                   help="query text; pass multiple times to serve the batch in ONE Spark job")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--no-prune", action="store_true")
     s.add_argument("--dry-run", action="store_true",
                    help="print planned stages + block-scan plan without executing")
     s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("delete", help="row-level delete of doc_ids (partition-scoped)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="comma-separated doc_ids")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="fold streamed deltas into the block index")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     y = sub.add_parser("synth", help="generate deterministic transcripts")
     y.add_argument("--out", required=True)

@@ -52,3 +52,30 @@ def test_query_executes(spark, idx_dir, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["total"] >= 3
     assert len(out["results"]) == 3
+
+
+def test_search_batch_one_call(spark, idx_dir, capsys):
+    rc = cli.main(
+        ["search", "--index", idx_dir,
+         "--query", "tok1 tok2", "--query", "tok3", "-k", "5"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [b["query"] for b in out["batch"]] == ["tok1 tok2", "tok3"]
+    assert all(len(b["results"]) <= 5 for b in out["batch"])
+    assert all(b["results"] for b in out["batch"])
+
+
+def test_delete_subcommand(spark, tmp_path, capsys):
+    d = str(tmp_path / "cli_del_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 120, seed=9))
+    IndexBuilder(d, span=32).build(docs)
+    rc = cli.main(["delete", "--index", d, "--ids", "1,2,3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok"
+    assert out["n_deleted"] == 3
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, d)
+    assert si.n_docs == 117
