@@ -269,6 +269,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id")
     q["text_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d)).orderBy("doc_id")
 
+    # --- end-to-end training-data cleaning pipeline: language filter
+    # → quality filter → exact dedup among the survivors (the
+    # composition a 100 TB pretraining pipeline actually runs; every
+    # stage is a bounded-key groupBy/join, no all-pairs anywhere)
+    def pipeline_clean(s, d):
+        docs = _docs(s, d)
+        q = textstats.quality_stats(docs).select("doc_id", "quality")
+        l = textstats.lang_id(docs).select("doc_id", "pred_lang")
+        filtered = (
+            docs.join(q, "doc_id")
+            .join(l, "doc_id")
+            .where((F.col("quality") >= 0.3) & (F.col("pred_lang") == "en"))
+        )
+        return (
+            dedup.exact_dedup(filtered)
+            .select(F.col("survivor_id").alias("doc_id"))
+            .orderBy("doc_id")
+        )
+
+    q["pipeline_clean"] = pipeline_clean
+
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: ann.cosine_topk(_emb(s, d), query_vec_id=0, k=10)
     q["ann_knn_queries"] = lambda s, d: ann.knn_for_queries(_emb(s, d), [0, 1, 2], k=5)
@@ -329,6 +350,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rel_q6"] = rel_q6
+
+    def rel_rollup(s, d):
+        # multi-level aggregation (ROLLUP) — absent in the reference
+        # (SURVEY §2.4 "grouping sets / cube / rollup: built-in"),
+        # exercised under the oracle for relational completeness
+        o = _t(s, d, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy(
+                F.col("o_orderstatus").asc_nulls_first(),
+                F.col("o_orderpriority").asc_nulls_first(),
+            )
+        )
+
+    q["rel_rollup"] = rel_rollup
+
+    def rel_cube(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.cube("event_type", F.year("ts").cast("long").alias("yr"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(
+                F.col("event_type").asc_nulls_first(),
+                F.col("yr").asc_nulls_first(),
+            )
+        )
+
+    q["rel_cube"] = rel_cube
 
     def rel_topk_per_group(s, d):
         from pyspark.sql import Window
@@ -575,6 +628,27 @@ SELECT doc_id, md5(lower(trim(text))) AS text_md5,
   md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))), ' ')) AS content_md5
 FROM documents ORDER BY doc_id"""
 
+    o["pipeline_clean"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS norm,
+           list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS qtoks,
+           list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+           FROM documents),
+qual AS (SELECT doc_id,
+  round((CASE WHEN len(qtoks) > 0 THEN len(list_distinct(qtoks))::DOUBLE / len(qtoks) ELSE 0 END)
+        * (1.0 - CASE WHEN len(norm) > 0 THEN (len(norm) - len(regexp_replace(norm, '[^\\w\\s]', '', 'g')))::DOUBLE / len(norm) ELSE 0 END), 6) AS quality
+  FROM t),
+lang AS (SELECT doc_id,
+  CASE WHEN score_en >= greatest(score_es, score_de, score_fr) AND score_en >= 1 THEN 'en'
+       WHEN score_es >= greatest(score_de, score_fr) AND score_es >= 1 THEN 'es'
+       WHEN score_de >= score_fr AND score_de >= 1 THEN 'de'
+       WHEN score_fr >= 1 THEN 'fr'
+       ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, {lang_score['en']} AS score_en, {lang_score['es']} AS score_es,
+               {lang_score['de']} AS score_de, {lang_score['fr']} AS score_fr FROM t)),
+filt AS (SELECT t.doc_id, t.norm FROM t JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+         WHERE quality >= 0.3 AND pred_lang = 'en')
+SELECT min(doc_id) AS doc_id FROM filt GROUP BY norm ORDER BY doc_id"""
+
     o["ann_cosine_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -612,6 +686,15 @@ SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*)::BIGINT 
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+    o["rel_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+    o["rel_cube"] = """
+SELECT event_type, year(ts)::BIGINT AS yr, count(*)::BIGINT AS n
+FROM events GROUP BY CUBE (event_type, year(ts)::BIGINT)
+ORDER BY event_type NULLS FIRST, yr NULLS FIRST"""
     o["rel_topk_per_group"] = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey,

@@ -204,3 +204,44 @@ def test_crash_mid_swap_refuses_to_open(spark, tmp_path):
         SparkIndex(spark, d)
     with pytest.raises(RuntimeError, match="torn table swap"):
         delete_docs(spark, d, spark.createDataFrame([(3,)], "doc_id long"))
+
+
+def test_delete_equals_fresh_rebuild_logically(spark, tmp_path):
+    """Strongest delete correctness statement: after deleting D from
+    an index over C, the decoded posting stream (field, term, doc_id,
+    tf, dl) equals that of an index built directly on C \\ D.
+    (Physical block shapes may differ — the delete path merges former
+    singleton whole-string blocks — but every reader is additive over
+    blocks, so logical equality is the invariant that matters.)"""
+    from neosearch_spark.maintenance import _explode_blocks_stream
+
+    docs = assign_doc_ids(synth_transcripts(spark, 300, seed=77)).cache()
+    deleted = {2, 9, 57, 130, 131, 250}
+
+    d_del = str(tmp_path / "del_way")
+    IndexBuilder(d_del, span=64).build(docs)
+    delete_docs(
+        spark, d_del,
+        spark.createDataFrame([(i,) for i in deleted], "doc_id long"),
+    )
+
+    d_fresh = str(tmp_path / "fresh_way")
+    IndexBuilder(d_fresh, span=64).build(
+        docs.where(~F.col("doc_id").isin(list(deleted)))
+    )
+
+    def logical(d):
+        rows = _explode_blocks_stream(
+            spark.read.parquet(d + "/blocks")
+        ).collect()
+        return sorted(
+            (r["field"], r["term"], r["doc_id"], r["tf"], r["dl"]) for r in rows
+        )
+
+    assert logical(d_del) == logical(d_fresh)
+
+    # stats agree too (incremental vs recomputed)
+    a = SparkIndex(spark, d_del)
+    b = SparkIndex(spark, d_fresh)
+    assert a.n_docs == b.n_docs
+    assert abs(a.avgdl - b.avgdl) < 1e-12
