@@ -270,6 +270,12 @@ def delete_docs(
     p = m["params"]
     span = int(p["span"])
     boundaries = p.get("bucket_boundaries", [])
+    if "docs_span" not in p:
+        raise RuntimeError(
+            "index predates the partitioned doc-store layout "
+            "(format v9, docs_span param) — rebuild it before using "
+            "partition-scoped delete"
+        )
     docs_span = int(p["docs_span"])
     analyzed_fields = list(p["analyzed_fields"])
     exact_fields = list(p["exact_fields"])

@@ -63,6 +63,22 @@ class SparkIndex:
         from .maintenance import check_not_torn
 
         check_not_torn(self.manifest, index_dir)
+        # batch-visibility analog (reference neosearch_test.go:733-826:
+        # batched writes are invisible until flush): an index is
+        # servable only when every build stage committed — a mid-build
+        # or crashed-build directory refuses to open instead of
+        # serving a partial view
+        stages = self.manifest.get("stages", {})
+        missing = [
+            s
+            for s in ("docs", "stats", "blocks", "terms")
+            if not stages.get(s, {}).get("ok")
+        ]
+        if missing:
+            raise RuntimeError(
+                f"index at {index_dir} is incomplete (stages not "
+                f"committed: {missing}); finish or resume the build first"
+            )
         p = self.manifest["params"]
         self.span = int(p["span"])
         # bucketed block layout (build.py): term → bucket directory,
@@ -310,6 +326,8 @@ class SparkIndex:
         are free, so a warm serving process answers a query in a
         single Spark job.  Terms absent from the index memoize as
         (0, 0)."""
+        if len(self._meta_cache) > 4_000_000:  # soft cap: ~200 MB of
+            self._meta_cache.clear()           # memo in a long-lived server
         missing = [t for t in qterms if (field, t) not in self._meta_cache]
         if missing:
             rows = (

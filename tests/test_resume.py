@@ -70,3 +70,15 @@ def test_counters_lineage(spark, docs, tmp_path):
     assert sum(r["n_postings"] for r in counters) == m["stages"]["counters"]["total_postings"]
     assert sum(r["bytes"] for r in counters) == m["stages"]["counters"]["total_bytes"]
     assert all(r["part_id"] >= 0 for r in counters)
+
+
+def test_incomplete_index_refuses_to_open(spark, docs, tmp_path):
+    """Batch-visibility analog (reference neosearch_test.go:733-826):
+    a mid-build index must refuse to serve, not expose a partial
+    view."""
+    from neosearch_spark.query import SparkIndex
+
+    d = str(tmp_path / "incomplete")
+    IndexBuilder(d, span=64).build(docs, stop_after="blocks")
+    with pytest.raises(RuntimeError, match="incomplete"):
+        SparkIndex(spark, d)
