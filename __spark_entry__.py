@@ -296,6 +296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pairs_above"] = lambda s, d: ann.cosine_pairs_above(
         _emb(s, d), threshold=0.25, max_id=150
     )
+    # embedding-cosine near-dup DEDUP (min-id survivor over the pair
+    # graph) — exact variant under the oracle; the LSH variant is the
+    # scale path (pytest: subset-of-exact)
+    q["dedup_embedding_neardup"] = lambda s, d: dedup.embedding_neardup(
+        _emb(s, d), threshold=0.25, max_id=150
+    )
 
     def ann_ivf_topk(s, d):
         import numpy as np
@@ -671,6 +677,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
 ORDER BY id_a, id_b"""
+
+    o["dedup_embedding_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150),
+losers AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM losers) ORDER BY vec_id"""
 
     o["rel_q1"] = """
 SELECT l_returnflag, l_linestatus,

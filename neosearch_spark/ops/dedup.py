@@ -216,3 +216,45 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def embedding_neardup(
+    vectors: DataFrame,
+    threshold: float,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: keep each vector unless
+    it has a near-duplicate (cosine ≥ threshold) with a SMALLER id —
+    the min-id-survivor rule every other dedup op here uses, applied
+    to the embedding space.
+
+    ``use_lsh=False`` scores exact pairs (quadratic — bound it with
+    ``max_id`` or pre-filtering); ``use_lsh=True`` routes candidate
+    generation through the hyperplane-LSH buckets (the 100 TB path,
+    recall < 1 by design — same trade as ``minhash_lsh_buckets``)."""
+    from . import ann
+
+    pairs = (
+        ann.lsh_bucketed_pairs(
+            vectors if max_id is None else vectors.where(F.col(id_col) < max_id),
+            threshold,
+            n_planes=n_planes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if use_lsh
+        else ann.cosine_pairs_above(
+            vectors, threshold, max_id=max_id, id_col=id_col, vec_col=vec_col
+        )
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    base = vectors if max_id is None else vectors.where(F.col(id_col) < max_id)
+    return (
+        base.select(id_col).join(losers, id_col, "left_anti").orderBy(id_col)
+    )

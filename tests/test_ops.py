@@ -272,3 +272,19 @@ def test_multimodal_injected_decoder(spark):
     for r in media.collect():
         want = hist_decoder(bytes(r["payload"]), 16)
         assert got[r["media_id"]] == want.tolist()
+
+
+def test_embedding_neardup_exact_and_lsh(spark, vectors):
+    """Embedding-cosine near-dup dedup: vec 1 (a perturbed copy of
+    vec 0) must lose to the min-id survivor; the LSH variant may only
+    MISS pairs (recall < 1), so every exact survivor also survives
+    under LSH."""
+    exact = [r["vec_id"] for r in dedup.embedding_neardup(vectors, 0.95).collect()]
+    assert 0 in exact and 1 not in exact
+    lsh = [
+        r["vec_id"]
+        for r in dedup.embedding_neardup(
+            vectors, 0.95, use_lsh=True, n_planes=4, dim=8
+        ).collect()
+    ]
+    assert set(exact) <= set(lsh)
