@@ -268,6 +268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d)).orderBy("doc_id")
     q["text_lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id")
     q["text_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d)).orderBy("doc_id")
+    # winnowing (rolling-hash) fingerprints + shared-fingerprint
+    # near-dup candidates — SIGMOD'03 selection rule, md5-hash family
+    # for oracle parity (the true-rolling numpy variant is
+    # pytest-oracled)
+    q["text_winnow_fps"] = lambda s, d: textstats.winnow_fingerprints(
+        _docs(s, d)
+    ).orderBy("doc_id")
+    q["dedup_winnow_pairs"] = lambda s, d: textstats.winnow_candidates(
+        _docs(s, d), min_shared=10, max_doc_id=200
+    )
 
     # --- end-to-end training-data cleaning pipeline: language filter
     # → quality filter → exact dedup among the survivors (the
@@ -654,6 +664,33 @@ lang AS (SELECT doc_id,
 filt AS (SELECT t.doc_id, t.norm FROM t JOIN qual USING (doc_id) JOIN lang USING (doc_id)
          WHERE quality >= 0.3 AND pred_lang = 'en')
 SELECT min(doc_id) AS doc_id FROM filt GROUP BY norm ORDER BY doc_id"""
+
+    WINNOW_G = (
+        "CASE WHEN len(norm) < 5 THEN []::BIGINT[] ELSE "
+        "list_transform(range(1, len(norm) - 4 + 1), "
+        "i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 15))::BIGINT) END"
+    )
+    WINNOW_W = (
+        "CASE WHEN len(grams) = 0 THEN []::BIGINT[] "
+        "WHEN len(grams) <= 4 THEN [list_min(grams)] "
+        "ELSE list_transform(range(1, len(grams) - 4 + 2), "
+        "j -> list_min(list_slice(grams, j, j + 3))) END"
+    )
+    o["text_winnow_fps"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+g AS (SELECT doc_id, {WINNOW_G} AS grams FROM t),
+w AS (SELECT doc_id, {WINNOW_W} AS wins FROM g)
+SELECT doc_id, list_sort(list_distinct(wins)) AS fingerprints FROM w ORDER BY doc_id"""
+    o["dedup_winnow_pairs"] = f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents WHERE doc_id < 200),
+g AS (SELECT doc_id, {WINNOW_G} AS grams FROM t),
+w AS (SELECT doc_id, {WINNOW_W} AS wins FROM g),
+fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM w),
+rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000),
+fpr AS (SELECT doc_id, f FROM fp JOIN rare USING (f))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fpr a JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY doc_a, doc_b"""
 
     o["ann_cosine_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -110,3 +110,192 @@ def fingerprints(docs: DataFrame, field: str = "text") -> DataFrame:
         F.md5(norm).alias("text_md5"),
         F.md5(sorted_toks).alias("content_md5"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    field: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the standard rolling-hash near-dup fingerprinting):
+    hash every character k-gram of the normalized text, slide a
+    window of ``window`` consecutive k-gram hashes, keep the minimum
+    hash of each window, return the sorted distinct selection.  A
+    shared substring of length ≥ k + window - 1 between two docs
+    GUARANTEES a shared fingerprint — the property that makes this a
+    recall-safe candidate generator.
+
+    The k-gram hash here is the portable 60-bit md5 hash (same family
+    as the dedup ops) so the DuckDB oracle computes identical
+    fingerprints; everything is one codegen'd higher-order-function
+    expression (no Python).  ``winnow_fingerprints_rolling`` is the
+    same selection rule over a true O(len) polynomial ROLLING hash
+    (numpy mapInPandas) — the cheaper scale path when k grows.
+
+    Returns (doc_id, fingerprints array<long>)."""
+    # guard short docs explicitly: sequence(1, 0) would produce a
+    # DESCENDING [1, 0] in Spark, not an empty array
+    g = (
+        f"CASE WHEN length(_norm) < {k} THEN cast(array() as array<bigint>) "
+        f"ELSE transform(sequence(1, length(_norm) - {k - 1}), "
+        f"i -> cast(conv(substr(md5(substr(_norm, i, {k})), 1, 15), 16, 10) as bigint)) END"
+    )
+    fps = (
+        "array_sort(array_distinct(transform("
+        f"CASE WHEN size(_grams) = 0 THEN cast(array() as array<int>) "
+        f"     WHEN size(_grams) <= {window} THEN array(1) "
+        f"     ELSE sequence(1, size(_grams) - {window} + 1) END, "
+        f"j -> array_min(slice(_grams, j, {window})))))"
+    )
+    return (
+        docs.select("doc_id", norm_col(F.col(field)).alias("_norm"))
+        .withColumn("_grams", F.expr(g))
+        .select("doc_id", F.expr(fps).alias("fingerprints"))
+    )
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    field: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    explode → (cap hot fingerprints at ``max_fp_df`` docs, like the
+    Jaccard token-df cap — candidate generation stays bounded at any
+    corpus size) → self-join per fingerprint → pairs sharing ≥
+    ``min_shared`` fingerprints.  Returns (doc_a, doc_b, n_shared),
+    doc_a < doc_b."""
+    d = docs if max_doc_id is None else docs.where(F.col("doc_id") < max_doc_id)
+    # The identity mapInArrow BETWEEN fingerprint computation and
+    # explode is load-bearing: exploding the higher-order-function
+    # expression directly makes Generate re-evaluate the whole
+    # grams+windows chain per OUTPUT row — O(fps × grams) per doc,
+    # measured ~100x slowdown, with or without an exchange in between
+    # (an exchange does not stop the regeneration; a materialization
+    # barrier does).  The Arrow round-trip materializes each array
+    # exactly once and costs only the small (doc_id, fingerprints)
+    # rows.
+    fps_df = winnow_fingerprints(d, field, k, window)
+    fp = fps_df.mapInArrow(lambda it: it, schema=fps_df.schema).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnow_fingerprints_rolling(
+    docs: DataFrame,
+    field: str = "text",
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Same winnowing selection rule as ``winnow_fingerprints`` but
+    over a TRUE rolling polynomial hash, computed batch-vectorized:
+
+    - all texts in an Arrow batch concatenate into one byte blob;
+    - prefix sums S(i) = SUM_{j<i} b[j]*B^(-j) (mod m) come from ONE
+      numpy cumsum, so every k-gram hash is
+      H(i) = (S(i+k) - S(i)) * B^(i+k-1) (mod m) — O(blob) total
+      work with no per-byte loop (the classic rolling-hash recurrence
+      re-expressed as a scan so it vectorizes);
+    - modular power tables build in O(sqrt-ish) scalar steps via the
+      i = q*4096 + r decomposition.
+
+    Only the final ragged per-doc window-min/dedup runs as a per-DOC
+    loop of numpy slices (output is a ragged array column — same
+    bounded pattern as block decoding).  Fingerprint VALUES differ
+    from the md5 variant (different hash family); the selection
+    semantics are identical and pytest-oracled against a pure-Python
+    reimplementation.  m = 2^31 - 1 (prime) keeps every intermediate
+    product inside int64."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    C = 1 << 12
+
+    def powmod_array(b: int, n: int, m: int) -> "np.ndarray":
+        # b^0..b^(n-1) mod m without an O(n) scalar loop: decompose
+        # i = q*C + r, build the two small tables scalar-ly (C and
+        # n/C steps), combine vectorized (products < m^2 < 2^62)
+        pr = np.empty(min(n, C), dtype=np.int64)
+        x = 1
+        for r in range(len(pr)):
+            pr[r] = x
+            x = (x * b) % m
+        if n <= C:
+            return pr[:n]
+        bc = pow(b, C, m)
+        nq = (n + C - 1) // C
+        pq = np.empty(nq, dtype=np.int64)
+        x = 1
+        for q in range(nq):
+            pq[q] = x
+            x = (x * bc) % m
+        i = np.arange(n, dtype=np.int64)
+        return (pq[i >> 12] * pr[i & (C - 1)]) % m
+
+    binv = pow(base, mod - 2, mod)  # modular inverse (m prime)
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            texts = [t if t is not None else "" for t in pdf["_norm"].tolist()]
+            enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+            blob = b"\x00".join(enc)
+            b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n >= k:
+                ip = powmod_array(binv, n, mod)
+                terms = (b * ip) % mod
+                S = np.zeros(n + 1, dtype=np.int64)
+                # cumsum stays < n * m < 2^63 for batch blobs < 4 GB
+                np.cumsum(terms, out=S[1:])
+                S %= mod
+                bp = powmod_array(base, n, mod)
+                H = (((S[k:] - S[:-k]) % mod) * bp[k - 1 :]) % mod
+            else:
+                H = np.empty(0, dtype=np.int64)
+            offs = np.cumsum([0] + [len(e) + 1 for e in enc])
+            out = []
+            for r, (o, ln) in enumerate(zip(offs[:-1], (len(e) for e in enc))):
+                ng = max(ln - k + 1, 0)
+                g = H[o : o + ng]
+                if ng == 0:
+                    fps: list[int] = []
+                elif ng <= window:
+                    fps = [int(g.min())]
+                else:
+                    fps = sorted(
+                        {int(x) for x in sliding_window_view(g, window).min(axis=1)}
+                    )
+                out.append((int(pdf["doc_id"].iloc[r]), fps))
+            yield pd.DataFrame(out, columns=["doc_id", "fingerprints"])
+
+    return docs.select(
+        "doc_id", norm_col(F.col(field)).alias("_norm")
+    ).mapInPandas(run, schema="doc_id long, fingerprints array<long>")

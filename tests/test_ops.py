@@ -288,3 +288,84 @@ def test_embedding_neardup_exact_and_lsh(spark, vectors):
         ).collect()
     ]
     assert set(exact) <= set(lsh)
+
+
+def _winnow_py(text, k=5, window=4, hasher=None):
+    """Pure-Python winnowing oracle (selection rule shared by both
+    Spark variants)."""
+    import hashlib
+
+    def md5h(s):
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    h = hasher or md5h
+    norm = text.strip(" ").lower()
+    if len(norm) < k:
+        return []
+    grams = [h(norm[i : i + k]) for i in range(len(norm) - k + 1)]
+    if len(grams) <= window:
+        return [min(grams)]
+    return sorted(
+        {min(grams[j : j + window]) for j in range(len(grams) - window + 1)}
+    )
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox leaps over the lazy dog"),
+        (2, "completely different content here"),
+        (3, "tiny"),       # shorter than k
+        (4, "exact"),      # exactly k chars -> one gram
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in textstats.winnow_fingerprints(docs).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _winnow_py(t), (i, t)
+    # the winnowing guarantee: docs 0 and 1 share a long substring
+    # (>= k + window - 1 chars) -> must share a fingerprint
+    assert set(got[0]) & set(got[1])
+    assert not (set(got[0]) & set(got[2]))
+
+
+def test_winnow_rolling_matches_python_oracle(spark):
+    base, mod = 257, (1 << 31) - 1
+
+    def poly(s):
+        acc = 0
+        for ch in s.encode("utf-8"):
+            acc = (acc * base + ch) % mod
+        return acc
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "shared middle segment appears here too"),
+        (2, "xy"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in textstats.winnow_fingerprints_rolling(docs).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _winnow_py(t, hasher=poly), (i, t)
+
+
+def test_winnow_candidates_find_neardups(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog at noon"),
+        (2, "entirely unrelated text with nothing in common at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textstats.winnow_candidates(docs, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
