@@ -230,3 +230,60 @@ def windowed_event_counts(
             F.sum("value").alias("total_value"),
         )
     )
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-user sessionization with event-time gap closure — the
+    conversation-assembly shape a transcript pipeline runs on a turn
+    stream (the reference has no streaming at all, SURVEY §2.9).
+
+    State per user = the open session (start, end, n_events) as epoch
+    seconds; each micro-batch's events either extend it or close it
+    (gap > gap_sec) and open a new one.  CLOSED sessions emit
+    (append semantics); the open tail stays in state across
+    micro-batches.  Equivalence contract (tested): the emitted
+    sessions are exactly batch lag-gap sessionization's sessions
+    minus each user's final (still-open) one.
+
+    Per batch+user the event vector is split vectorized (one diff +
+    nonzero); only the per-SESSION emit loop is Python — bounded by
+    the number of closed sessions in the batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values("ts")
+        t = rows["ts"].astype("int64").to_numpy() // 1_000_000_000
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = (t[1:] - t[:-1]) > gap_sec
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(t))
+        segs = [(int(t[s]), int(t[e - 1]), int(e - s)) for s, e in zip(starts, ends)]
+        if state.exists:
+            ps, pe, pn = state.get
+            if t[0] - pe <= gap_sec:  # first segment continues the open session
+                s0, e0, n0 = segs[0]
+                segs[0] = (int(ps), e0, pn + n0)
+            else:
+                segs.insert(0, (int(ps), int(pe), int(pn)))
+        *closed, open_tail = segs
+        state.update(open_tail)
+        if closed:
+            yield pd.DataFrame(
+                [(user_id, a, b, n) for a, b, n in closed],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start long, session_end long, n_events long",
+        stateStructType="s long, e long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

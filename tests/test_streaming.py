@@ -144,3 +144,68 @@ def test_delete_after_compaction(spark, tmp_path):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: state must carry open
+    sessions ACROSS micro-batches (maxFilesPerTrigger=1, session
+    spanning two files) and the emitted (closed) sessions must equal
+    batch lag-gap sessionization minus each user's final session."""
+    import time as _time
+
+    from neosearch_spark.streaming import sessionize_stream
+
+    def ts(minute):
+        return f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+
+    # user 1: one session split across the two files (gap 5 min <
+    # 30 min), then a far-later session; user 2: two distinct sessions
+    f1 = [(1, 1, ts(0)), (2, 1, ts(5)), (10, 2, ts(0))]
+    f2 = [(3, 1, ts(10)), (4, 1, ts(300)), (11, 2, ts(100)), (12, 2, ts(105))]
+    src = str(tmp_path / "sess_src")
+    schema = "event_id long, user_id long, ts_s string"
+    spark.createDataFrame(f1, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(f2, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessout").collect()
+    }
+
+    # expectation: per user, all sessions but the last (still open).
+    # user 1 sessions: [0,5,10] (4 events? events at minutes 0,5,10 ->
+    # one session of 3 events) then [300] open -> closed = (0..10, 3)
+    # user 2 sessions: [0] then [100,105] open -> closed = (0, 0, 1)
+    def epoch(minute):
+        import datetime
+
+        return int(
+            datetime.datetime(
+                2024, 1, 1, minute // 60, minute % 60, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        )
+
+    want = {
+        (1, epoch(0), epoch(10), 3),
+        (2, epoch(0), epoch(0), 1),
+    }
+    assert got == want
