@@ -432,11 +432,12 @@ class SparkIndex:
     # default span before falling back to terms-table stats)
     META_COLLECT_CAP = 2_000_000
 
-    # warm-path fast collect: if the query's terms span ≤ this many
-    # blocks, ONE pushed-down scan fetches metadata AND payload
-    # together and the query completes in a single Spark job.
-    # Worst-case driver pull = 64 blocks × ~1 MB (span 131072 at
-    # ~2.5 B/posting × 3 streams) = 64 MB; typical is ≤ 1 MB.
+    # warm-path threshold: when the memoized terms-table metadata
+    # says the query's terms span ≤ this many blocks, ONE pushed-down
+    # scan fetches the payload and the query completes in a single
+    # Spark job (no speculative probe to discard).  Worst-case driver
+    # pull = 64 blocks × ~1 MB (span 131072 at ~2.5 B/posting × 3
+    # streams) = 64 MB; typical is ≤ 1 MB.
     FAST_COLLECT_MAX_BLOCKS = 64
 
     # above this many span IDs, a literal IN-list would bloat the
