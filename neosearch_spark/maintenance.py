@@ -82,6 +82,55 @@ def check_not_torn(manifest: dict, index_dir: str) -> None:
         )
 
 
+class writer_lock:
+    """Single-writer mutual exclusion for maintenance ops — the
+    distributed-filesystem analog of the reference's singleton writer
+    + mutex (``store/goleveldb/store.go:160-165``): concurrent
+    delete/compact against one index directory would interleave their
+    tmp writes and manifest updates.
+
+    O_EXCL lock file carrying (pid, timestamp); a lock whose owning
+    pid is dead is stale (crashed writer) and is stolen.  (At Iceberg
+    scale this job is done by optimistic snapshot commits + retries;
+    the lock is the parquet-directory stand-in.)"""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "write.lock")
+
+    def __enter__(self):
+        import time
+
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        holder = json.load(f)
+                    os.kill(int(holder["pid"]), 0)  # raises if dead
+                except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                    # dead or unreadable holder → stale lock, steal it
+                    try:
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    f"index is locked by a live writer (pid "
+                    f"{holder['pid']}); concurrent maintenance on one "
+                    "index is not supported — retry after it finishes"
+                )
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def swap_tables(index_dir: str, pairs: list[tuple[str, str]], op: str,
                 crash_after: int | None = None, **manifest_extra) -> None:
     """Atomically-ish replace index tables OR single partition
@@ -262,7 +311,19 @@ def delete_docs(
     directories containing them are rewritten (see module docstring).
     ``n_deleted`` counts rows actually removed (absent ids don't
     count).  Idempotent: re-deleting absent ids touches no blocks and
-    rewrites the ids' doc_part directories to identical content."""
+    rewrites the ids' doc_part directories to identical content.
+    Single-writer: concurrent maintenance on one index is excluded by
+    ``writer_lock`` (reference singleton-writer semantics)."""
+    with writer_lock(index_dir):
+        return _delete_docs_locked(spark, index_dir, ids, crash_after)
+
+
+def _delete_docs_locked(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    crash_after: int | None = None,
+) -> dict:
     from .build import _occurrence_stream
 
     m = _load_manifest(index_dir)

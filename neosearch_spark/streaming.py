@@ -89,7 +89,16 @@ def compact_deltas(spark: SparkSession, index_dir: str, span: int | None = None)
     streamed docs' lengths land in the ``doc_len_extra`` table
     (partitioned by doc_part like the doc store — streamed docs have
     postings + lengths but no doc-store row), and corpus stats update
-    incrementally from the delta alone.  Returns #touched groups."""
+    incrementally from the delta alone.  Returns #touched groups.
+    Single-writer: excluded against concurrent maintenance by
+    ``writer_lock`` (reference singleton-writer semantics)."""
+    from .maintenance import writer_lock
+
+    with writer_lock(index_dir):
+        return _compact_deltas_locked(spark, index_dir, span)
+
+
+def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None) -> int:
     import json
     import shutil
 

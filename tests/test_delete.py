@@ -245,3 +245,28 @@ def test_delete_equals_fresh_rebuild_logically(spark, tmp_path):
     b = SparkIndex(spark, d_fresh)
     assert a.n_docs == b.n_docs
     assert abs(a.avgdl - b.avgdl) < 1e-12
+
+
+def test_writer_lock_excludes_concurrent_and_steals_stale(spark, tmp_path):
+    """Single-writer semantics (reference singleton writer + mutex,
+    goleveldb/store.go:160-165): a live holder blocks a second
+    writer; a dead holder's lock is stale and stolen."""
+    import json as _json
+    import os
+
+    from neosearch_spark.maintenance import writer_lock
+
+    docs = assign_doc_ids(synth_transcripts(spark, 80, seed=6))
+    d = str(tmp_path / "lock_idx")
+    IndexBuilder(d, span=32).build(docs)
+
+    # live holder (this process) blocks delete
+    with writer_lock(d):
+        with pytest.raises(RuntimeError, match="locked by a live writer"):
+            delete_docs(spark, d, spark.createDataFrame([(1,)], "doc_id long"))
+    # stale lock from a dead pid is stolen and the delete proceeds
+    with open(os.path.join(d, "write.lock"), "w") as f:
+        _json.dump({"pid": 2_000_000_000, "ts": 0}, f)
+    counters = delete_docs(spark, d, spark.createDataFrame([(1,)], "doc_id long"))
+    assert counters["n_deleted"] == 1
+    assert not os.path.exists(os.path.join(d, "write.lock"))
