@@ -69,6 +69,24 @@ def _eval_dsl(idx, dsl: dict):
             d = _eval_dsl(idx, c)
             res = d if res is None else res.unionByName(d)
         return res.distinct().orderBy("doc_id")
+    if "$not" in dsl:
+        # planned-but-unshipped reference operator (PROPOSAL.md:
+        # 223-224): [include, exclude] → include minus exclude;
+        # clauses compose recursively ($and/$or/$prefix inside)
+        inc, exc = dsl["$not"]
+        return (
+            _eval_dsl(idx, inc)
+            .join(_eval_dsl(idx, exc), "doc_id", "left_anti")
+            .orderBy("doc_id")
+        )
+    if "$xor" in dsl:
+        # symmetric difference of two recursively-evaluated clauses
+        a, b = (_eval_dsl(idx, c) for c in dsl["$xor"])
+        return (
+            a.join(b, "doc_id", "left_anti")
+            .unionByName(b.join(a, "doc_id", "left_anti"))
+            .orderBy("doc_id")
+        )
     (field, term), = dsl.items()
     if isinstance(term, dict) and "$prefix" in term:
         return idx.prefix_docs(term["$prefix"], field=field)

@@ -112,9 +112,17 @@ class writer_lock:
                         holder = json.load(f)
                     os.kill(int(holder["pid"]), 0)  # raises if dead
                 except (OSError, ValueError, KeyError, json.JSONDecodeError):
-                    # dead or unreadable holder → stale lock, steal it
+                    # dead or unreadable holder → stale lock.  Steal via
+                    # rename-to-unique (atomic: exactly ONE of N
+                    # concurrent stealers succeeds; the rest see
+                    # FileNotFoundError and loop back to the O_EXCL
+                    # create, where they find the winner's fresh lock) —
+                    # a bare os.remove would let a second stealer delete
+                    # the winner's just-created lock and double-acquire.
                     try:
-                        os.remove(self.path)
+                        stale = f"{self.path}.stale.{os.getpid()}"
+                        os.rename(self.path, stale)
+                        os.remove(stale)
                     except FileNotFoundError:
                         pass
                     continue

@@ -66,6 +66,37 @@ def test_search_batch_one_call(spark, idx_dir, capsys):
     assert all(b["results"] for b in out["batch"])
 
 
+def test_query_dsl_not_xor(spark, idx_dir, capsys):
+    """$not/$xor DSL clauses (PROPOSAL.md:223-224 planned operators)
+    match the SparkIndex API set semantics and compose recursively."""
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+    a = {r["doc_id"] for r in idx.term_docs("tok1").collect()}
+    b = {r["doc_id"] for r in idx.term_docs("tok2").collect()}
+
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl", '{"$not": [{"text": "tok1"}, {"text": "tok2"}]}',
+         "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert {r["doc_id"] for r in out["results"]} == a - b
+
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl",
+         '{"$xor": [{"text": "tok1"}, '
+         '{"$or": [{"text": "tok2"}, {"text": "tok3"}]}]}',
+         "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    c = {r["doc_id"] for r in idx.term_docs("tok3").collect()}
+    assert {r["doc_id"] for r in out["results"]} == a ^ (b | c)
+
+
 def test_delete_subcommand(spark, tmp_path, capsys):
     d = str(tmp_path / "cli_del_idx")
     docs = assign_doc_ids(synth_transcripts(spark, 120, seed=9))
