@@ -716,26 +716,261 @@ class SparkIndex:
 
         return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
 
+    def _score_spans_batch(
+        self,
+        blocks: DataFrame,
+        queries_map: dict[int, list[str]],
+        idf_map: dict[int, dict[str, float]],
+        k: int,
+        allowed: dict[int, frozenset] | None,
+    ) -> list:
+        """Per-span exact scoring for MANY queries in ONE job: the
+        span's blocks are decoded ONCE (same vectorized batch decode
+        as ``_score_spans``), then each query accumulates over its own
+        terms' posting slices.  ``allowed`` optionally restricts each
+        query to a span set (batched WAND: boot / survivor spans per
+        query).
+
+        Float identity with the per-query paths: sorting the span's
+        blocks by (term, first_doc) makes each term's postings one
+        contiguous slice in first_doc order; accumulating per query
+        term IN QUERY ORDER with one ``np.add.at`` per term applies
+        each accumulator slot's additions in exactly the per-query
+        order (term occurrences in query order, postings in block
+        order) — the same per-slot sequence as ``_score_spans`` and
+        ``_score_decoded``, so every score bit matches.  Duplicate
+        query terms accumulate once per occurrence, as everywhere
+        else.  Returns collected (query_id, doc_id, score) candidate
+        rows, ≤k per (query, span)."""
+        from .codec import _varint_decode
+
+        span = self.span
+        avgdl = self.avgdl
+        q_items = sorted(queries_map.items())
+
+        def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            span_id = int(key[0])
+            base = span_id * span
+            pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+            n_docs = pdf["n_docs"].to_numpy(dtype=np.int64)
+            deltas = _varint_decode(b"".join(pdf["docs_enc"].tolist()))
+            cum = np.cumsum(deltas.astype(np.int64))
+            starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+            rebase = np.repeat(cum[starts] - deltas[starts].astype(np.int64), n_docs)
+            rel = (cum - rebase) - base
+            tfs = _varint_decode(b"".join(pdf["tfs_enc"].tolist())).astype(np.float64)
+            dls = _varint_decode(b"".join(pdf["dls_enc"].tolist())).astype(np.float64)
+            tf_norm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            # contiguous posting slice per term (rows are term-sorted)
+            terms_arr = pdf["term"].to_numpy()
+            row_start = np.concatenate(([0], np.cumsum(n_docs)))
+            change = np.flatnonzero(
+                np.concatenate(([True], terms_arr[1:] != terms_arr[:-1]))
+            )
+            slice_hi = np.append(row_start[change[1:]], row_start[-1])
+            tmap = {
+                terms_arr[c]: (int(row_start[c]), int(hi))
+                for c, hi in zip(change, slice_hi)
+            }
+            outs = []
+            for qi, qterms in q_items:
+                if allowed is not None and span_id not in allowed.get(qi, ()):
+                    continue
+                acc = np.zeros(span, dtype=np.float64)
+                seen = np.zeros(span, dtype=bool)
+                idf = idf_map[qi]
+                for t in qterms:
+                    r = tmap.get(t)
+                    if r is None:
+                        continue
+                    lo, hi = r
+                    np.add.at(acc, rel[lo:hi], idf[t] * tf_norm[lo:hi])
+                    seen[rel[lo:hi]] = True
+                idx = np.flatnonzero(seen)
+                if idx.size == 0:
+                    continue
+                sc = acc[idx]
+                order = np.lexsort((idx, -sc))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(order.size, qi, dtype=np.int32),
+                            "doc_id": (idx[order] + base).astype(np.int64),
+                            "score": sc[order],
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        return (
+            blocks.groupBy("span_id")
+            .applyInPandas(score, schema="query_id int, doc_id long, score double")
+            .collect()
+        )
+
+    @staticmethod
+    def _merge_batch_rows(rows, k: int) -> dict[int, list[tuple[int, float]]]:
+        """Candidate rows → per-query top-k, (score desc, doc_id asc)."""
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"]))
+            )
+        return {
+            qi: sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
+            for qi, cand in by_q.items()
+        }
+
+    def _bm25_batch_distributed(
+        self,
+        queries_map: dict[int, list[str]],
+        idf_map: dict[int, dict[str, float]],
+        k: int,
+        field: str,
+    ) -> list[tuple[int, int, float]]:
+        """Distributed batched WAND: score every hot query of a batch
+        in at most TWO span-scoring jobs (plus one capped metadata
+        collect), regardless of batch size.
+
+        1. One column-pruned metadata scan over the union of all hot
+           queries' terms → per-(query, span) upper bounds.
+        2. Job 1 scores each query's n_boot highest-bound spans (one
+           span-grouped job over the UNION of boot spans; inside the
+           UDF each query only scores its own spans).
+        3. Per query: θ = kth boot score; survivors = spans with
+           bound ≥ θ.  Queries whose boot pass returned < k rows keep
+           every span as survivor (exhaustive completion).
+        4. Job 2 scores the union of survivor spans the same way.
+
+        Pruning is per-query score-lossless (same argument as the
+        single-query path: a span whose bound is below an achieved
+        kth score cannot contribute), and per-doc floats are span-
+        local, so results are bit-identical to per-query evaluation
+        no matter how spans land in job 1 vs job 2.  When the
+        metadata collect overflows its cap, falls back to ONE
+        exhaustive batch-scoring job (never an unbounded collect)."""
+        uniq_hot = list(
+            dict.fromkeys(t for qs in queries_map.values() for t in qs)
+        )
+        blocks_q = self._bucket_terms(self.blocks, uniq_hot).where(
+            (F.col("field") == field) & F.col("term").isin(uniq_hot)
+        )
+        meta = (
+            blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl")
+            .limit(self.META_COLLECT_CAP + 1)
+            .collect()
+        )
+        if len(meta) > self.META_COLLECT_CAP:
+            rows = self._score_spans_batch(
+                blocks_q, queries_map, idf_map, k, allowed=None
+            )
+            merged = self._merge_batch_rows(rows, k)
+            return [
+                (qi, d, s)
+                for qi in sorted(queries_map)
+                for d, s in merged.get(qi, [])
+            ]
+
+        # per-(query, span) upper bounds from the shared metadata
+        by_term: dict[str, list] = {}
+        for r in meta:
+            by_term.setdefault(r["term"], []).append(r)
+        n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
+        ubs: dict[int, dict[int, float]] = {}
+        for qi, qterms in queries_map.items():
+            wts: dict[str, float] = {}
+            for t in qterms:
+                wts[t] = wts.get(t, 0.0) + idf_map[qi][t]
+            ub: dict[int, float] = {}
+            for t, w in wts.items():
+                for r in by_term.get(t, []):
+                    infl = max(1.0, self.avgdl / r["enc_avgdl"])
+                    ub[r["span_id"]] = ub.get(r["span_id"], 0.0) + (
+                        w * r["max_tf_norm"] * infl
+                    )
+            ubs[qi] = ub
+
+        boot: dict[int, frozenset] = {
+            qi: frozenset(
+                s for s, _ in sorted(ub.items(), key=lambda kv: -kv[1])[:n_boot]
+            )
+            for qi, ub in ubs.items()
+        }
+        union1 = sorted(set().union(*boot.values())) if boot else []
+        rows1 = (
+            self._score_spans_batch(
+                self._span_filter(blocks_q, union1),
+                queries_map,
+                idf_map,
+                k,
+                allowed=boot,
+            )
+            if union1
+            else []
+        )
+        boot_top = self._merge_batch_rows(rows1, k)
+
+        survivors: dict[int, frozenset] = {}
+        for qi, ub in ubs.items():
+            bt = boot_top.get(qi, [])
+            if len(bt) >= k:
+                theta = bt[-1][1]
+                survivors[qi] = frozenset(
+                    s for s, b in ub.items() if b >= theta and s not in boot[qi]
+                )
+            else:  # boot under-filled → score every remaining span
+                survivors[qi] = frozenset(s for s in ub if s not in boot[qi])
+        union2 = sorted(set().union(*survivors.values())) if survivors else []
+        rows2 = (
+            self._score_spans_batch(
+                self._span_filter(blocks_q, union2),
+                queries_map,
+                idf_map,
+                k,
+                allowed=survivors,
+            )
+            if union2
+            else []
+        )
+        merged = self._merge_batch_rows(list(rows1) + list(rows2), k)
+        return [
+            (qi, d, s)
+            for qi in sorted(queries_map)
+            for d, s in merged.get(qi, [])
+        ]
+
     def bm25_topk_batch(
         self, queries: list[str], k: int = 10, field: str = "text"
     ) -> DataFrame:
-        """BM25 top-k for a query STREAM in one Spark job.
+        """BM25 top-k for a query STREAM in O(1) Spark jobs.
 
         The serving-path scale shape (the reference's REST search is
         a stream of requests, ``service/neosearch/index/search.go:
         26-134``): per-query jobs pay a fixed driver/scheduler cost
         that DOMINATES warm latency and gets WORSE with more cores
         (measured 0.66x 2→8-core query scaling in round 2).  Batching
-        amortizes it: ONE pushed-down block scan over the union of
-        all queries' terms, one decode, then per-query driver-local
-        scoring — N queries per Spark job instead of jobs per query.
+        amortizes it:
+
+        - COLD queries (per-query posting volume under the local cap)
+          are greedily packed into shared pushed-down scans: ONE scan
+          + decode serves a whole chunk, scored per query on the
+          driver.
+        - HOT queries (any single query over the cap — its blocks can
+          never be collected) all go through ONE batched distributed
+          WAND: ≤2 span-scoring jobs for the entire hot set
+          (``_bm25_batch_distributed``), never a per-query job loop.
 
         Per-query results are row-for-row IDENTICAL to
         ``bm25_topk(query, k)`` (same decode order, same float op
-        order, same tie-break — oracle-gated and tested).  Batches
-        whose combined posting volume exceeds the local cap fall back
-        to the per-query path ladder (a hot term can never be
-        collected).
+        order, same tie-break — oracle-gated and tested).
 
         Returns (query_id int, doc_id long, score double), rows
         ordered by (query_id, score desc, doc_id asc)."""
@@ -744,25 +979,54 @@ class SparkIndex:
         out: list[tuple[int, int, float]] = []
         if all_uniq:
             meta = self._term_meta(all_uniq, field)
-            total_postings = sum(m[0] for m in meta.values())
-            if total_postings <= self.LOCAL_SCORE_MAX_POSTINGS:
-                blocks_q = self._bucket_terms(self.blocks, all_uniq).where(
-                    (F.col("field") == field) & F.col("term").isin(all_uniq)
+            cold: list[int] = []
+            hot: dict[int, list[str]] = {}
+            for qi, qs in enumerate(qterms_list):
+                if not qs:
+                    continue
+                vol = sum(meta[t][0] for t in set(qs))
+                if vol <= self.LOCAL_SCORE_MAX_POSTINGS:
+                    cold.append(qi)
+                else:
+                    hot[qi] = qs
+
+            # greedy chunks of cold queries: each chunk's UNION of
+            # term postings fits the local cap → one scan per chunk
+            chunks: list[list[int]] = []
+            cur: list[int] = []
+            cur_terms: set[str] = set()
+            for qi in cold:
+                nt = cur_terms | set(qterms_list[qi])
+                if cur and sum(meta[t][0] for t in nt) > self.LOCAL_SCORE_MAX_POSTINGS:
+                    chunks.append(cur)
+                    cur, cur_terms = [qi], set(qterms_list[qi])
+                else:
+                    cur, cur_terms = cur + [qi], nt
+            if cur:
+                chunks.append(cur)
+
+            for chunk in chunks:
+                chunk_terms = list(
+                    dict.fromkeys(t for qi in chunk for t in qterms_list[qi])
+                )
+                blocks_q = self._bucket_terms(self.blocks, chunk_terms).where(
+                    (F.col("field") == field) & F.col("term").isin(chunk_terms)
                 )
                 rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
                 decoded = self._decode_rows(rows)
-                for qi, qterms in enumerate(qterms_list):
-                    if not qterms:
-                        continue
+                for qi in chunk:
+                    qterms = qterms_list[qi]
                     idf = self._idf({t: meta[t][0] for t in qterms}, qterms)
                     for d, s in self._score_decoded(decoded, qterms, idf, k):
                         out.append((qi, d, s))
-            else:
-                for qi, (q, qterms) in enumerate(zip(queries, qterms_list)):
-                    if not qterms:
-                        continue
-                    for r in self.bm25_topk(q, k, field).collect():
-                        out.append((qi, int(r["doc_id"]), float(r["score"])))
+
+            if hot:
+                idf_map = {
+                    qi: self._idf({t: meta[t][0] for t in qs}, qs)
+                    for qi, qs in hot.items()
+                }
+                out.extend(self._bm25_batch_distributed(hot, idf_map, k, field))
+            out.sort(key=lambda r: r[0])  # stable: keeps per-query order
         rdd = self.spark.sparkContext.parallelize(out, 1)
         return self.spark.createDataFrame(
             rdd, "query_id int, doc_id long, score double"

@@ -196,6 +196,59 @@ def test_batch_is_one_spark_job(corpus):
     assert len(ids) == 1, f"expected 1 scan job for the batch, got {len(ids)}"
 
 
+def test_batch_distributed_identical_and_bounded_jobs(corpus, monkeypatch):
+    """Forcing every query hot routes the batch through the
+    distributed batched-WAND path: results stay bit-identical to the
+    unforced batch, and the WHOLE hot set costs O(1) scoring jobs
+    (≤4: metadata probe + capped meta collect + boot + survivors) —
+    never a per-query job loop."""
+    si, _, _ = corpus
+    queries = ["tok1 tok3 tok17", "tok2 tok2 tok5", "tok1", "missingterm tok4"]
+    baseline = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    monkeypatch.setattr(type(si), "LOCAL_SCORE_MAX_POSTINGS", 0)
+    monkeypatch.setattr(type(si), "FAST_COLLECT_MAX_BLOCKS", 0)
+    sc = si.spark.sparkContext
+
+    def count_jobs(group, qs):
+        sc.setJobGroup(group, "distributed batch job count")
+        rows = [
+            (r["query_id"], r["doc_id"], r["score"])
+            for r in si.bm25_topk_batch(qs, 10).collect()
+        ]
+        sc.setJobGroup(f"after_{group}", "")
+        return rows, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    got, jobs4 = count_jobs("hot_batch_4", queries)
+    assert got == baseline
+    # the fixed ladder (meta collect + boot + survivors + result) is
+    # independent of the number of hot queries: 2-query and 4-query
+    # batches run the SAME number of jobs (a per-query loop would
+    # scale linearly)
+    _, jobs2 = count_jobs("hot_batch_2", queries[:2])
+    assert jobs4 <= jobs2 + 1, f"jobs grew with batch size: {jobs2} -> {jobs4}"
+
+
+def test_batch_distributed_meta_overflow_exhaustive(corpus, monkeypatch):
+    """When the metadata collect overflows its cap, the hot batch
+    falls back to ONE exhaustive batch-scoring job — identical rows."""
+    si, _, _ = corpus
+    queries = ["tok1 tok3", "tok2 tok5"]
+    baseline = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    monkeypatch.setattr(type(si), "LOCAL_SCORE_MAX_POSTINGS", 0)
+    monkeypatch.setattr(type(si), "META_COLLECT_CAP", 0)
+    got = [
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in si.bm25_topk_batch(queries, 10).collect()
+    ]
+    assert got == baseline
+
+
 def test_get_docs_materialization(corpus):
     si, oi, _ = corpus
     top = si.bm25_topk("tok1 tok3", 5)
