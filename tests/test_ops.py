@@ -92,6 +92,90 @@ def test_lsh_bucketed_pairs_subset_of_exact(spark, vectors):
     assert (0, 1) in exact
 
 
+def test_minhash_lsh_measured_recall(spark):
+    """MEASURED recall of the LSH banding path (the `no_oracle` gate's
+    quantitative story): plant near-dup pairs of known Jaccard
+    (20-token docs, 2 tokens replaced → J = 18/22 ≈ 0.82), then
+    check how many planted pairs the banding co-buckets.  With 4
+    bands of 4 rows the S-curve gives P(candidate) = 1-(1-0.82^4)^4
+    ≈ 0.90; the corpus and hashes are deterministic, so the measured
+    recall is stable — assert a 0.70 floor (and that non-dup pairs
+    stay un-bucketed: precision side is the existing subset test)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows, planted = [], []
+    did = 0
+    for i in range(60):
+        toks = list(rng.choice(len(vocab), size=20, replace=False))
+        rows.append((did, " ".join(vocab[t] for t in toks)))
+        mut = list(toks)
+        for j in rng.choice(20, size=2, replace=False):
+            mut[j] = int(rng.integers(0, 5000))
+        rows.append((did + 1, " ".join(vocab[t] for t in mut)))
+        planted.append((did, did + 1))
+        did += 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_hashes, band_size = 16, 4
+    sigs = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(n_hashes)]
+        for r in dedup.minhash_signatures(docs, n_hashes=n_hashes).collect()
+    }
+    def bands(s):
+        return [tuple(s[b * band_size:(b + 1) * band_size])
+                for b in range(n_hashes // band_size)]
+    def co_bucketed(a, b):
+        return any(x == y for x, y in zip(bands(sigs[a]), bands(sigs[b])))
+
+    hits = sum(1 for a, b in planted if co_bucketed(a, b))
+    recall = hits / len(planted)
+    assert recall >= 0.70, f"LSH recall {recall:.2f} below floor"
+    # unrelated docs (disjoint-ish token sets) must not co-bucket
+    false_pairs = sum(
+        1 for a, b in [(0, 2), (4, 10), (20, 50), (8, 62), (30, 100)]
+        if co_bucketed(a, b)
+    )
+    assert false_pairs == 0
+
+
+def test_ivf_measured_recall_and_nprobe_monotone(spark):
+    """MEASURED recall@10 of IVF vs exact cosine (the `ann_ivf_topk`
+    gate's quantitative story) on a clustered corpus, plus the probe
+    monotonicity theorem: a larger nprobe's candidate set is a
+    superset (argsort prefix), so recall can only rise."""
+    rng = np.random.default_rng(3)
+    dim, n_clusters = 16, 6
+    # heavily-overlapping clusters: true neighbors straddle inverted
+    # lists, so the recall/nprobe tradeoff is actually exercised
+    # (measured on this seeded corpus: 0.688 @ nprobe=1, 0.850 @ 2,
+    # 1.0 @ full probe)
+    centers = rng.standard_normal((n_clusters, dim)) * 0.5
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((50, dim)) for c in range(n_clusters)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ann.ivf_train_centroids(df, n_centroids=n_clusters, n_iters=3, dim=dim)
+
+    queries = vecs[rng.choice(len(vecs), size=8, replace=False)] + 0.1
+    def recall_at(nprobe):
+        tot = 0.0
+        for qv in queries:
+            exact = [r["vec_id"] for r in
+                     ann.cosine_topk_numpy(df, qv, k=10).collect()]
+            got = [r["vec_id"] for r in
+                   ann.ivf_topk(df, qv, cents, k=10, nprobe=nprobe).collect()]
+            tot += len(set(exact) & set(got)) / 10
+        return tot / len(queries)
+
+    r1, r2 = recall_at(1), recall_at(2)
+    assert r2 >= r1
+    assert r2 >= 0.75, f"IVF recall@10 nprobe=2/6 is {r2:.2f}, below floor"
+    assert recall_at(n_clusters) == 1.0  # full probe ≡ exact
+
+
 def test_ivf_full_probe_equals_exact(spark, vectors):
     """Probing every inverted list must reproduce the exact top-k —
     IVF's approximation comes ONLY from probing fewer lists."""
