@@ -77,6 +77,7 @@ GROUP BY doc_id{limit}
 _IDX_CACHE: dict[str, str] = {}
 _DEL_CACHE: dict[str, str] = {}
 _FEAT_CACHE: dict[str, str] = {}
+_UPS_CACHE: dict[str, str] = {}
 
 
 def _doc_index(spark: SparkSession, sf_dir: str):
@@ -128,6 +129,38 @@ def _deleted_index(spark: SparkSession, sf_dir: str):
         delete_docs(spark, idx_dir, losers)
         _DEL_CACHE[sf_dir] = idx_dir
     return SparkIndex(spark, _DEL_CACHE[sf_dir])
+
+
+def _upserted_index(spark: SparkSession, sf_dir: str):
+    """Index built over documents, then a deterministic upsert batch
+    applied: docs with doc_id%10==3 REPLACED (new two-token text),
+    docs with doc_id%10==4 re-INSERTED under fresh ids past the max.
+    Exercises replace-or-insert posting maintenance (the corrected
+    successor of the reference's blind re-Add, ``index.go:123-160``)."""
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.maintenance import upsert_docs
+    from neosearch_spark.query import SparkIndex
+
+    if sf_dir not in _UPS_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        idx_dir = f"/tmp/neosearch_idx_ups_{tag}"
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+        IndexBuilder(idx_dir, analyzed_fields=["text"], exact_fields=["lang"], span=256).build(docs)
+        mx = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        repl = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+            "text", F.concat(F.lit("upserttok "), F.col("lang"))
+        )
+        new = (
+            docs.where(F.col("doc_id") % 10 == 4)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(mx).cast("long"))
+            .withColumn("text", F.concat(F.lit("newdoc "), F.col("lang")))
+        )
+        upsert_docs(spark, idx_dir, repl.unionByName(new))
+        _UPS_CACHE[sf_dir] = idx_dir
+    return SparkIndex(spark, _UPS_CACHE[sf_dir])
 
 
 def _feature_index(spark: SparkSession, sf_dir: str):
@@ -233,6 +266,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idx_delete_term"] = lambda s, d: _deleted_index(s, d).term_docs("vector")
     q["idx_delete_stats"] = lambda s, d: (
         _deleted_index(s, d)
+        .doc_len.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+
+    # row-level upsert: replaced docs findable only by NEW terms,
+    # inserted docs present, stats reflect the upserted corpus
+    q["idx_upsert_term"] = lambda s, d: _upserted_index(s, d).term_docs("vector")
+    q["idx_upsert_new"] = lambda s, d: _upserted_index(s, d).term_docs("upserttok")
+    q["idx_upsert_stats"] = lambda s, d: (
+        _upserted_index(s, d)
         .doc_len.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.round(F.avg("dl"), 6).alias("avgdl"),
@@ -553,6 +598,27 @@ SELECT DISTINCT doc_id FROM toks WHERE token = 'vector' ORDER BY doc_id"""
 WITH {FP_SURV},
 dl AS (SELECT len(string_split(lower(trim(d.text)), ' '))::BIGINT AS dl
        FROM documents d JOIN surv USING (doc_id))
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
+
+    UPS_CORPUS = (
+        "corpus AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN 'upserttok ' || lang "
+        "ELSE text END AS text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), "
+        "'newdoc ' || lang FROM documents WHERE doc_id % 10 = 4)"
+    )
+    o["idx_upsert_term"] = f"""
+WITH {UPS_CORPUS},
+toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token FROM corpus)
+SELECT DISTINCT doc_id FROM toks WHERE token = 'vector' ORDER BY doc_id"""
+    o["idx_upsert_new"] = f"""
+WITH {UPS_CORPUS},
+toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token FROM corpus)
+SELECT DISTINCT doc_id FROM toks WHERE token = 'upserttok' ORDER BY doc_id"""
+    o["idx_upsert_stats"] = f"""
+WITH {UPS_CORPUS},
+dl AS (SELECT len(string_split(lower(trim(text)), ' '))::BIGINT AS dl FROM corpus)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
 
     o["idx_nested_field"] = (

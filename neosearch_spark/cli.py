@@ -166,6 +166,19 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    """Replace-or-insert documents from a parquet batch (must carry
+    doc_id + the indexed field columns) — the corrected successor of
+    the reference's re-``Add`` on an existing id
+    (``lib/neosearch/index/index.go:123-160``), partition-scoped."""
+    from .maintenance import upsert_docs
+
+    spark = _spark(args)
+    counters = upsert_docs(spark, args.index, spark.read.parquet(args.input))
+    print(json.dumps({"status": "ok", **counters}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Fold streamed tf/doc_len deltas into the block index
     (LSM-compaction analog; partition-scoped)."""
@@ -225,6 +238,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--ids", required=True, help="comma-separated doc_ids")
     d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser("upsert", help="replace-or-insert docs from a parquet batch (partition-scoped)")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True, help="parquet dir with doc_id + indexed field columns")
+    u.set_defaults(fn=cmd_upsert)
 
     c = sub.add_parser("compact", help="fold streamed deltas into the block index")
     c.add_argument("--index", required=True)

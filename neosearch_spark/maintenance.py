@@ -503,3 +503,242 @@ def _delete_docs_locked(
     )
     _cleanup_tmp_roots(index_dir)
     return counters
+
+
+def upsert_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    crash_after: int | None = None,
+) -> dict:
+    """Replace-or-insert documents into a built index in one
+    partition-scoped pass: ids already present are replaced (their
+    OLD postings removed, new ones added), unseen ids are inserted.
+
+    The reference's ``Index.Add`` on an existing id
+    (``lib/neosearch/index/index.go:123-160``) overwrites the doc
+    store but blindly MergeSet-appends to the posting lists, leaving
+    the old content's terms pointing at the doc — stale postings.
+    This is the corrected distributed successor: affected posting
+    groups derive from the union of the replaced docs' OLD analyzed
+    content and the batch's NEW content, so replaced postings are
+    dropped exactly and only touched ``bucket=`` / ``doc_part=``
+    directories are rewritten (O(touched) compute and I/O, same
+    contract as ``delete_docs``).
+
+    ``new_docs`` must carry ``doc_id`` plus the same field columns
+    the index was built from.  Pending streaming deltas are folded in
+    first (upsert is defined on a compacted index — a replaced id
+    hiding in ``tf_delta`` would otherwise resurrect at the next
+    compaction).  Returns counters {n_upserted, n_replaced,
+    touched_spans, n_blocks_touched, touched_buckets,
+    touched_doc_parts}."""
+    with writer_lock(index_dir):
+        if os.path.exists(os.path.join(index_dir, "tf_delta")):
+            from .streaming import _compact_deltas_locked
+
+            _compact_deltas_locked(spark, index_dir, None)
+        return _upsert_docs_locked(spark, index_dir, new_docs, crash_after)
+
+
+def _upsert_docs_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    crash_after: int | None = None,
+) -> dict:
+    from .build import (
+        _occurrence_stream,
+        _tf_stream,
+        apply_date_fields,
+        doc_len_col,
+        term_bucket_expr,
+    )
+
+    m = _load_manifest(index_dir)
+    check_not_torn(m, index_dir)
+    p = m["params"]
+    span = int(p["span"])
+    boundaries = p.get("bucket_boundaries", [])
+    if "docs_span" not in p:
+        raise RuntimeError(
+            "index predates the partitioned doc-store layout "
+            "(format v9, docs_span param) — rebuild it before using "
+            "partition-scoped upsert"
+        )
+    docs_span = int(p["docs_span"])
+    analyzed_fields = list(p["analyzed_fields"])
+    exact_fields = list(p["exact_fields"])
+    date_fields = p.get("date_fields") or {}
+    exact_all = exact_fields + [f for f in date_fields if f not in exact_fields]
+
+    new_docs = new_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    batch = new_docs.withColumn(
+        "dl", doc_len_col(F.col(analyzed_fields[0]))
+    ).persist()
+    ids = batch.select("doc_id").distinct()
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    replaced_docs = docs.join(ids, "doc_id", "semi").persist()
+
+    # streamed docs (postings but no doc-store row): content unknown,
+    # so replacing one falls back to span-granular group rebuild —
+    # same shape as delete_docs
+    extra_path = os.path.join(index_dir, "doc_len_extra")
+    extra_replaced = None
+    if os.path.exists(extra_path):
+        extra_replaced = (
+            spark.read.parquet(extra_path).join(ids, "doc_id", "semi").persist()
+        )
+
+    # --- affected groups: OLD content of replaced docs ∪ NEW batch
+    # content (both through the build's own analyzer, so terms match
+    # the persisted postings exactly)
+    old_occ = _occurrence_stream(
+        apply_date_fields(replaced_docs, date_fields),
+        analyzed_fields,
+        exact_all,
+        include_whole=True,
+    )
+    new_tf = _tf_stream(
+        apply_date_fields(batch, date_fields), analyzed_fields, exact_all
+    ).withColumn("span_id", F.expr(f"doc_id div {span}"))
+    affected = (
+        old_occ.select(
+            "field", "term", F.expr(f"doc_id div {span}").alias("span_id")
+        )
+        .unionByName(new_tf.select("field", "term", "span_id"))
+        .distinct()
+    )
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    if extra_replaced is not None:
+        extra_spans = [
+            r["s"]
+            for r in extra_replaced.select(
+                F.expr(f"doc_id div {span}").alias("s")
+            ).distinct().collect()
+        ]
+        if extra_spans:
+            affected = affected.unionByName(
+                blocks.where(F.col("span_id").isin(extra_spans))
+                .select("field", "term", "span_id")
+                .distinct()
+            ).distinct()
+
+    # --- incremental stats: old totals − replaced + batch
+    old = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    rstat = replaced_docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_rep, t_rep = int(rstat["n"]), int(rstat["t"] or 0)
+    if extra_replaced is not None:
+        estat = extra_replaced.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        n_rep += int(estat["n"])
+        t_rep += int(estat["t"] or 0)
+    bstat = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("t"),
+        F.max("dl").alias("m"),
+    ).collect()[0]
+    n_batch, t_batch = int(bstat["n"]), int(bstat["t"] or 0)
+    n_new = int(old["n_docs"]) - n_rep + n_batch
+    t_new = int(old["total_tokens"]) - t_rep + t_batch
+    max_dl = max(int(old["max_dl"]), int(bstat["m"] or 0))
+    avgdl = (t_new / n_new) if n_new else 0.0
+    stats_tmp = os.path.join(index_dir, "stats") + "_tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([(n_new, avgdl, t_new, max_dl)], 1),
+        "n_docs long, avgdl double, total_tokens long, max_dl long",
+    ).write.mode("overwrite").parquet(stats_tmp)
+
+    # --- blocks/terms: drop replaced postings from touched groups,
+    # add the batch's postings, rewrite touched buckets only
+    affected = affected.withColumn(
+        "bucket", term_bucket_expr(F.col("term"), boundaries)
+    ).persist()
+    bucket_list = sorted(
+        r["bucket"] for r in affected.select("bucket").distinct().collect()
+    )
+    bl_scan = (
+        blocks.where(F.col("bucket").isin(bucket_list))
+        if bucket_list
+        else blocks.where(F.lit(False))
+    )
+    keys = affected.select("field", "term", "span_id")
+    touched_blocks = bl_scan.join(keys, ["field", "term", "span_id"])
+    n_touched_blocks = touched_blocks.count()
+    surviving_tf = (
+        _explode_blocks_stream(touched_blocks)
+        .join(ids, "doc_id", "left_anti")
+        .withColumn("span_id", F.expr(f"doc_id div {span}"))
+        .unionByName(new_tf.select("field", "term", "doc_id", "tf", "dl", "span_id"))
+    )
+    pairs, touched_buckets = rebuild_touched_buckets(
+        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries
+    )
+    affected.unpersist()
+
+    # --- doc store: rewrite only the doc_part dirs containing batch
+    # ids — surviving old rows in those dirs ∪ the batch's new rows
+    touched_parts = sorted(
+        r["p"]
+        for r in ids.select(
+            F.expr(f"doc_id div {docs_span}").alias("p")
+        ).distinct().collect()
+    )
+    batch_rows = batch.withColumn(
+        "doc_part", F.expr(f"doc_id div {docs_span}").cast("int")
+    ).select(*docs.columns)
+    docs_tmp = os.path.join(index_dir, "docs") + "_tmp"
+    (
+        docs.where(F.col("doc_part").isin(touched_parts))
+        .join(ids, "doc_id", "left_anti")
+        .unionByName(batch_rows)
+        .sortWithinPartitions("doc_part", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_part")
+        .parquet(docs_tmp)
+    )
+    pairs += partition_swap_pairs(
+        index_dir, "docs", docs_tmp, "doc_part", touched_parts
+    )
+    # replaced streamed docs now have doc-store rows — drop them from
+    # doc_len_extra's touched dirs
+    if extra_replaced is not None:
+        extra_tmp = extra_path + "_tmp"
+        (
+            spark.read.parquet(extra_path)
+            .where(F.col("doc_part").isin(touched_parts))
+            .join(ids, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("doc_part")
+            .parquet(extra_tmp)
+        )
+        pairs += partition_swap_pairs(
+            index_dir, "doc_len_extra", extra_tmp, "doc_part", touched_parts
+        )
+    pairs.append(("stats", stats_tmp))
+
+    counters = {
+        "n_upserted": n_batch,
+        "n_replaced": n_rep,
+        "touched_spans": int(keys.select("span_id").distinct().count()),
+        "n_blocks_touched": int(n_touched_blocks),
+        "touched_buckets": len(touched_buckets),
+        "touched_doc_parts": len(touched_parts),
+    }
+    replaced_docs.unpersist()
+    batch.unpersist()
+    if extra_replaced is not None:
+        extra_replaced.unpersist()
+    swap_tables(
+        index_dir,
+        pairs,
+        op="upsert_docs",
+        crash_after=crash_after,
+        upsert_docs=counters,
+    )
+    _cleanup_tmp_roots(index_dir)
+    return counters

@@ -110,3 +110,25 @@ def test_delete_subcommand(spark, tmp_path, capsys):
 
     si = SparkIndex(spark, d)
     assert si.n_docs == 117
+
+
+def test_upsert_subcommand(spark, tmp_path, capsys):
+    d = str(tmp_path / "cli_ups_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 120, seed=9))
+    IndexBuilder(d, span=32).build(docs)
+    from pyspark.sql import functions as F
+
+    batch_dir = str(tmp_path / "cli_ups_batch")
+    docs.where(F.col("doc_id") < 2).withColumn(
+        "text", F.lit("cliupserted tok")
+    ).write.parquet(batch_dir)
+    rc = cli.main(["upsert", "--index", d, "--input", batch_dir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok"
+    assert out["n_replaced"] == 2
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, d)
+    assert si.n_docs == 120
+    assert {r["doc_id"] for r in si.term_docs("cliupserted").collect()} == {0, 1}

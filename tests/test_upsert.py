@@ -1,0 +1,225 @@
+"""Row-level upsert (replace-or-insert).
+
+The reference's ``Index.Add`` on an existing id
+(``lib/neosearch/index/index.go:123-160``) overwrites the doc store
+but blindly MergeSet-appends postings, leaving the old content's
+terms pointing at the doc.  ``upsert_docs`` is the corrected
+distributed successor: old postings of replaced ids are dropped
+exactly, new content is indexed, and only touched ``bucket=`` /
+``doc_part=`` directories are rewritten."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.docids import assign_doc_ids
+from neosearch_spark.maintenance import _explode_blocks_stream, upsert_docs
+from neosearch_spark.oracle import OracleIndex
+from neosearch_spark.query import SparkIndex
+from neosearch_spark.synth import synth_transcripts
+
+from test_delete import _dir_file_hashes
+
+
+def _logical(spark, d):
+    rows = _explode_blocks_stream(
+        spark.read.parquet(d + "/blocks")
+    ).collect()
+    return sorted(
+        (r["field"], r["term"], r["doc_id"], r["tf"], r["dl"]) for r in rows
+    )
+
+
+def test_upsert_equals_fresh_rebuild_logically(spark, tmp_path):
+    """After upserting batch B into an index over C, the decoded
+    posting stream equals a fresh build over (C minus B's ids) ∪ B —
+    replaced ids carry ONLY their new content, inserted ids appear,
+    untouched docs are unchanged."""
+    docs = assign_doc_ids(synth_transcripts(spark, 300, seed=31)).cache()
+
+    # batch: 4 replacements (new text) + 3 brand-new ids past the end
+    n = docs.count()
+    repl = (
+        docs.where(F.col("doc_id").isin([2, 9, 57, 130]))
+        .withColumn("text", F.concat(F.lit("replacedtok fresh "), F.col("text")))
+    )
+    new_rows = (
+        docs.where(F.col("doc_id").isin([0, 1, 3]))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n).cast("long"))
+        .withColumn(
+            "text", F.concat(F.lit("brandnew"), F.col("doc_id"), F.lit(" replacedtok tail"))
+        )
+    )
+    batch = repl.unionByName(new_rows)
+
+    d_up = str(tmp_path / "up_way")
+    IndexBuilder(d_up, span=64).build(docs)
+    counters = upsert_docs(spark, d_up, batch)
+    assert counters["n_upserted"] == 7
+    assert counters["n_replaced"] == 4
+
+    d_fresh = str(tmp_path / "fresh_way")
+    IndexBuilder(d_fresh, span=64).build(
+        docs.where(~F.col("doc_id").isin([2, 9, 57, 130])).unionByName(batch)
+    )
+
+    assert _logical(spark, d_up) == _logical(spark, d_fresh)
+    a, b = SparkIndex(spark, d_up), SparkIndex(spark, d_fresh)
+    assert a.n_docs == b.n_docs == n + 3
+    assert abs(a.avgdl - b.avgdl) < 1e-12
+
+
+def test_upsert_matches_oracle_queries(spark, tmp_path):
+    """Query-level check: replaced docs are findable by their NEW
+    terms only; every boolean/BM25 path agrees with an in-memory
+    oracle over the upserted corpus."""
+    docs = assign_doc_ids(synth_transcripts(spark, 400, seed=33))
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    d = str(tmp_path / "up_oracle")
+    IndexBuilder(d, span=64).build(docs)
+
+    replaced = {5, 6, 77, 210}
+    batch = docs.where(F.col("doc_id").isin(list(replaced))).withColumn(
+        "text", F.lit("uniquemarker tok1 tok1")
+    )
+    upsert_docs(spark, d, batch)
+
+    new_texts = dict(texts)
+    for i in replaced:
+        new_texts[i] = "uniquemarker tok1 tok1"
+    oi = OracleIndex(new_texts)
+    si = SparkIndex(spark, d)
+
+    assert si.n_docs == oi.n_docs
+    assert abs(si.avgdl - oi.avgdl) < 1e-9
+    assert [r["doc_id"] for r in si.term_docs("uniquemarker").collect()] == sorted(
+        replaced
+    )
+    for t in ["tok1", "tok2", "tok17"]:
+        assert [r["doc_id"] for r in si.term_docs(t).collect()] == oi.term(t), t
+    want = oi.bm25_topk("tok1 tok3", 10)
+    got = [
+        (r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok3", 10).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_upsert_is_partition_scoped(spark, tmp_path):
+    """O(touched)-I/O contract: replacing one zz-vocabulary doc with
+    other zz-vocabulary content leaves every alpha-only bucket dir
+    and every other doc_part dir byte-identical."""
+    import os
+
+    rows = [
+        (i, f"alpha{i % 37} alpha{(i * 7) % 37} alpha{(i * 11) % 37}")
+        for i in range(160)
+    ] + [(160 + j, f"zz{j} zz{(j + 1) % 8} zz{(j + 2) % 8}") for j in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "up_scoped")
+    IndexBuilder(d, span=32, n_buckets=8).build(docs)
+
+    before_blocks = _dir_file_hashes(os.path.join(d, "blocks"))
+    before_docs = _dir_file_hashes(os.path.join(d, "docs"))
+
+    si = SparkIndex(spark, d)
+    z_terms = [
+        r["term"]
+        for r in si.terms.where(F.col("term").startswith("zz")).select("term").collect()
+    ]
+    z_buckets = {si._bucket_of(t) for t in z_terms}
+    counters = upsert_docs(
+        spark, d, spark.createDataFrame([(163, "zz0 zz5 zz5")], "doc_id long, text string")
+    )
+    assert counters["n_upserted"] == 1
+    assert counters["n_replaced"] == 1
+    assert counters["touched_buckets"] <= len(z_buckets)
+
+    after_blocks = _dir_file_hashes(os.path.join(d, "blocks"))
+    after_docs = _dir_file_hashes(os.path.join(d, "docs"))
+
+    def changed_parts(before, after, prefix):
+        keys = set(before) | set(after)
+        return {
+            k.split(os.sep)[0]
+            for k in keys
+            if k.startswith(prefix) and before.get(k) != after.get(k)
+        }
+
+    assert changed_parts(before_blocks, after_blocks, "bucket=") <= {
+        f"bucket={b}" for b in z_buckets
+    }
+    untouched = {
+        k
+        for k in before_blocks
+        if k.startswith("bucket=") and after_blocks.get(k) == before_blocks[k]
+    }
+    assert untouched, "at least one bucket dir must be carried by identity"
+    assert changed_parts(before_docs, after_docs, "doc_part=") == {"doc_part=5"}
+
+    # old content gone, new content present, n_docs unchanged
+    si2 = SparkIndex(spark, d)
+    assert 163 not in {r["doc_id"] for r in si2.term_docs("zz3").collect()}
+    assert 163 in {r["doc_id"] for r in si2.term_docs("zz5").collect()}
+    assert si2.n_docs == 168
+
+
+def test_upsert_crash_mid_swap_refuses_to_open(spark, tmp_path):
+    docs = assign_doc_ids(synth_transcripts(spark, 120, seed=5))
+    d = str(tmp_path / "up_crash")
+    IndexBuilder(d, span=32).build(docs)
+    batch = docs.where(F.col("doc_id") == 1).withColumn("text", F.lit("crashed tok"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_docs(spark, d, batch, crash_after=1)
+    with pytest.raises(RuntimeError, match="torn table swap"):
+        SparkIndex(spark, d)
+
+
+def test_upsert_folds_pending_deltas_first(spark, tmp_path):
+    """A replaced id hiding in an uncompacted streaming delta must
+    not resurrect at the next compaction: upsert compacts pending
+    deltas before replacing."""
+    import os
+
+    from neosearch_spark.build import _tf_stream
+    from neosearch_spark.analyzer import doc_len_col
+
+    docs = assign_doc_ids(synth_transcripts(spark, 200, seed=8)).cache()
+    n = docs.count()
+    d = str(tmp_path / "up_delta")
+    IndexBuilder(d, span=64).build(docs)
+
+    # hand-write a delta batch for two new streamed docs (the
+    # stream_ingest sink's exact schema)
+    delta = spark.createDataFrame(
+        [(n, "streamed stale tok1"), (n + 1, "streamed keepme tok2")],
+        "doc_id long, text string",
+    )
+    _tf_stream(delta, ["text"], []).withColumn("epoch", F.lit(0)).write.mode(
+        "append"
+    ).parquet(os.path.join(d, "tf_delta"))
+    delta.select(
+        "doc_id", doc_len_col(F.col("text")).alias("dl")
+    ).withColumn("epoch", F.lit(0)).write.mode("append").parquet(
+        os.path.join(d, "doc_len_delta")
+    )
+
+    # replace the first streamed doc before any explicit compaction
+    batch = (
+        docs.where(F.col("doc_id") == 0)
+        .withColumn("doc_id", F.lit(n).cast("long"))
+        .withColumn("text", F.lit("overwritten tok3"))
+    )
+    counters = upsert_docs(spark, d, batch)
+    assert counters["n_replaced"] == 1
+
+    si = SparkIndex(spark, d)
+    assert not os.path.exists(os.path.join(d, "tf_delta"))
+    # old streamed content gone, replacement + surviving delta present
+    assert {r["doc_id"] for r in si.term_docs("stale").collect()} == set()
+    assert {r["doc_id"] for r in si.term_docs("overwritten").collect()} == {n}
+    assert {r["doc_id"] for r in si.term_docs("keepme").collect()} == {n + 1}
+    assert si.n_docs == n + 2
