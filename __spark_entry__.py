@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from neosearch_spark import fts
-from neosearch_spark.ops import ann, dedup, textstats
+from neosearch_spark.ops import ann, curate, dedup, textstats
 
 # ----------------------------------------------------------------- helpers
 
@@ -307,6 +307,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
         _docs(s, d), threshold=0.8, max_doc_id=100, max_token_df=100_000
     )
+    # incremental snapshot dedup: the "new batch" re-ingests every
+    # 7th doc under a shifted id — each must be flagged as a dup of
+    # its original (the every-snapshot "drop what we already trained
+    # on" question)
+    q["dedup_incremental"] = lambda s, d: dedup.dedup_against(
+        _docs(s, d)
+        .where(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000).cast("long")),
+        _docs(s, d),
+    )
+
+    # --- corpus curation ---
+    q["curate_sample"] = lambda s, d: curate.sample_hash(
+        _docs(s, d),
+        rate=0.1,
+        seed=7,
+        strata_col="lang",
+        strata_rates={"en": 0.5, "fr": 0.2},
+    ).select("doc_id", "lang").orderBy("doc_id")
+    q["curate_pack_shards"] = lambda s, d: curate.pack_shards(
+        _docs(s, d), budget=4096
+    ).orderBy("doc_id")
 
     # --- text analysis ---
     q["text_quality"] = lambda s, d: textstats.quality_stats(_docs(s, d)).orderBy("doc_id")
@@ -639,6 +661,24 @@ WITH fp AS (SELECT doc_id,
   FROM documents)
 SELECT fp_hash, count(*)::BIGINT AS group_size, min(doc_id) AS survivor_id
 FROM fp GROUP BY fp_hash HAVING count(*) >= 2 ORDER BY survivor_id"""
+    o["dedup_incremental"] = f"""
+WITH b AS (SELECT doc_id + 10000000 AS doc_id, {H.format(x="lower(trim(text))")} AS h
+           FROM documents WHERE doc_id % 7 = 0),
+c AS (SELECT {H.format(x="lower(trim(text))")} AS h, min(doc_id) AS dup_of
+      FROM documents GROUP BY 1)
+SELECT b.doc_id, c.dup_of FROM b JOIN c USING (h) ORDER BY b.doc_id"""
+    o["curate_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {H.format(x="doc_id::VARCHAR || ':7'")} / 1152921504606846976.0
+      < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.2 ELSE 0.1 END)
+ORDER BY doc_id"""
+    o["curate_pack_shards"] = """
+WITH sized AS (SELECT doc_id,
+  len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS shard_id
+FROM sized ORDER BY doc_id"""
     mh = ", ".join(
         f"min({H.format(x=chr(39) + str(i) + ':' + chr(39) + ' || token')}) AS mh{i}"
         for i in range(4)

@@ -38,6 +38,30 @@ def exact_dedup(docs: DataFrame, field: str = "text") -> DataFrame:
     )
 
 
+def dedup_against(
+    batch: DataFrame, corpus: DataFrame, field: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup: which docs of a NEW batch duplicate
+    (by normalized text) a doc already in an EXISTING corpus — the
+    every-snapshot question of a continuously-ingesting training
+    pipeline ("drop what we already trained on").
+
+    One equi-join on the 60-bit text hash: batch∧corpus rows
+    co-locate by hash, nothing is ever compared all-pairs.  At 100 TB
+    the corpus side is the big one — it arrives as hashes only
+    (8 B/doc), and a pre-aggregated corpus hash table (min doc_id per
+    hash) can be persisted once and reused across batches.  Returns
+    (doc_id, dup_of) — the batch doc and the smallest matching corpus
+    doc_id."""
+    b = batch.select("doc_id", _h60(norm_col(F.col(field))).alias("text_hash"))
+    c = (
+        corpus.select(_h60(norm_col(F.col(field))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return b.join(c, "text_hash").select("doc_id", "dup_of").orderBy("doc_id")
+
+
 def fingerprint_dedup(docs: DataFrame, field: str = "text", n_prefix_tokens: int = 5) -> DataFrame:
     """Near-dup candidate groups by leading-token fingerprint
     (cheap recall-oriented pass before expensive pairwise checks)."""

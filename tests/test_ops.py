@@ -511,3 +511,118 @@ def test_winnow_candidates_find_neardups(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# --------------------------------------------------------- curation
+
+
+def test_pack_shards_matches_global_window(spark):
+    """Two-pass partition-offset prefix sum ≡ a global window, at
+    several partition counts (the scale-correctness property: shard
+    assignment must not depend on layout)."""
+    from pyspark.sql import Window
+
+    from neosearch_spark.analyzer import doc_len_col
+    from neosearch_spark.ops import curate
+    from neosearch_spark.synth import synth_transcripts
+    from neosearch_spark.docids import assign_doc_ids
+
+    docs = assign_doc_ids(synth_transcripts(spark, 400, seed=13)).cache()
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r["doc_id"], r["n_tokens"], r["shard_id"])
+        for r in docs.select(
+            "doc_id", doc_len_col(F.col("text")).alias("n_tokens")
+        )
+        .withColumn(
+            "shard_id",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 64).cast("long"),
+        )
+        .collect()
+    }
+    for nparts in (1, 3, 8):
+        got = {
+            (r["doc_id"], r["n_tokens"], r["shard_id"])
+            for r in curate.pack_shards(
+                docs, budget=64, num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, nparts
+
+
+def test_pack_shards_budget_property(spark):
+    """Every shard except possibly its last doc fits the budget: a
+    doc starts in shard k iff its starting offset is in
+    [k*budget, (k+1)*budget)."""
+    from neosearch_spark.ops import curate
+    from neosearch_spark.synth import synth_transcripts
+    from neosearch_spark.docids import assign_doc_ids
+
+    docs = assign_doc_ids(synth_transcripts(spark, 300, seed=14))
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["shard_id"])
+        for r in curate.pack_shards(docs, budget=100).collect()
+    )
+    offset = 0
+    for _, n, shard in rows:
+        assert shard == offset // 100
+        offset += n
+
+
+def test_sample_hash_layout_independent_and_stratified(spark):
+    from neosearch_spark.ops import curate
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {
+        r["doc_id"]
+        for r in curate.sample_hash(docs, rate=0.3, seed=5).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in curate.sample_hash(
+            docs.repartition(13), rate=0.3, seed=5
+        ).collect()
+    }
+    assert a == b, "sample must not depend on partition layout"
+    assert abs(len(a) / 2000 - 0.3) < 0.05
+    # different seed → different (but still ~30%) sample
+    c = {
+        r["doc_id"]
+        for r in curate.sample_hash(docs, rate=0.3, seed=6).collect()
+    }
+    assert c != a and abs(len(c) / 2000 - 0.3) < 0.05
+    # stratified: per-lang rates honored
+    s = curate.sample_hash(
+        docs, rate=0.0, seed=5, strata_col="lang",
+        strata_rates={"en": 0.5, "fr": 0.1},
+    ).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in s}
+    n_en = sum(1 for _, l in rows if l == "en")
+    n_fr = 2000 - n_en
+    assert abs(by.get("en", 0) / n_en - 0.5) < 0.07
+    assert abs(by.get("fr", 0) / n_fr - 0.1) < 0.07
+
+
+def test_dedup_against_finds_cross_snapshot_dups(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "ALPHA  beta"), (101, "Gamma Delta"), (102, "unseen text")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.dedup_against(batch, corpus).collect()
+    }
+    # normalization: lowercase+trim (internal double space ≠ single)
+    assert got == {(101, 1)}
+    batch2 = spark.createDataFrame(
+        [(100, "Alpha Beta")], "doc_id long, text string"
+    )
+    assert {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.dedup_against(batch2, corpus).collect()
+    } == {(100, 0)}
