@@ -541,6 +541,33 @@ def upsert_docs(
         return _upsert_docs_locked(spark, index_dir, new_docs, crash_after)
 
 
+def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
+    """Fold index ``src`` into index ``dst`` — the distributed analog
+    of an LSM segment merge (the reference's store compacts segments
+    continuously; two independently-built indexes are two segments).
+
+    src's documents are replayed through the partition-scoped upsert
+    path, so ids present in both take src's content (newest-segment-
+    wins, LSM semantics) and only touched directories of dst are
+    rewritten.  src must be fully materialized: an index with
+    streamed-only docs (``doc_len_extra`` rows, content not in the
+    doc store) can't be merged — compact and rebuild it first."""
+    src_m = _load_manifest(src_dir)
+    check_not_torn(src_m, src_dir)
+    extra = os.path.join(src_dir, "doc_len_extra")
+    if os.path.exists(extra) and len(spark.read.parquet(extra).take(1)) > 0:
+        raise RuntimeError(
+            f"source index {src_dir} has streamed-only docs "
+            "(doc_len_extra) whose content is not in its doc store; "
+            "merge needs full documents — rebuild the source from its "
+            "corpus first"
+        )
+    src_docs = spark.read.parquet(os.path.join(src_dir, "docs")).drop(
+        "dl", "doc_part"
+    )
+    return upsert_docs(spark, dst_dir, src_docs)
+
+
 def _upsert_docs_locked(
     spark: SparkSession,
     index_dir: str,

@@ -223,3 +223,39 @@ def test_upsert_folds_pending_deltas_first(spark, tmp_path):
     assert {r["doc_id"] for r in si.term_docs("overwritten").collect()} == {n}
     assert {r["doc_id"] for r in si.term_docs("keepme").collect()} == {n + 1}
     assert si.n_docs == n + 2
+
+
+def test_merge_indexes_equals_union_rebuild(spark, tmp_path):
+    """LSM segment-merge analog: merging index B into index A yields
+    the same logical index as a fresh build over A's ∪ B's corpora,
+    with overlapping ids taking B's (newest segment's) content."""
+    from neosearch_spark.maintenance import merge_indexes
+
+    docs = assign_doc_ids(synth_transcripts(spark, 240, seed=41)).cache()
+    a_docs = docs.where(F.col("doc_id") < 140)
+    # B overlaps A on ids 120-139 (B's content differs) + adds 140-239
+    b_docs = docs.where(F.col("doc_id") >= 120).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 140, F.concat(F.lit("bwins "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    d_a = str(tmp_path / "seg_a")
+    d_b = str(tmp_path / "seg_b")
+    IndexBuilder(d_a, span=64).build(a_docs)
+    IndexBuilder(d_b, span=64).build(b_docs)
+    counters = merge_indexes(spark, d_a, d_b)
+    assert counters["n_upserted"] == 120
+    assert counters["n_replaced"] == 20
+
+    d_fresh = str(tmp_path / "seg_fresh")
+    IndexBuilder(d_fresh, span=64).build(
+        docs.where(F.col("doc_id") < 120).unionByName(b_docs)
+    )
+    assert _logical(spark, d_a) == _logical(spark, d_fresh)
+    a, b = SparkIndex(spark, d_a), SparkIndex(spark, d_fresh)
+    assert a.n_docs == b.n_docs == 240
+    assert abs(a.avgdl - b.avgdl) < 1e-12
+    assert {r["doc_id"] for r in a.term_docs("bwins").collect()} == set(
+        range(120, 140)
+    )
