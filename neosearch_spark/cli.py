@@ -179,6 +179,21 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Zero-copy point-in-time snapshot / rollback (the reference's
+    dump-restore workflow, ``docs/dump-restore.md``, without copying
+    bytes — hard links over immutable parquet)."""
+    from .maintenance import list_snapshots, restore_snapshot, snapshot
+
+    if args.list:
+        print(json.dumps({"snapshots": list_snapshots(args.index)}))
+    elif args.restore:
+        print(json.dumps({"status": "ok", **restore_snapshot(args.index, args.tag)}))
+    else:
+        print(json.dumps({"status": "ok", **snapshot(args.index, args.tag)}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Fold streamed tf/doc_len deltas into the block index
     (LSM-compaction analog; partition-scoped)."""
@@ -243,6 +258,13 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--index", required=True)
     u.add_argument("--input", required=True, help="parquet dir with doc_id + indexed field columns")
     u.set_defaults(fn=cmd_upsert)
+
+    sn = sub.add_parser("snapshot", help="zero-copy snapshot / restore / list")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--tag", default=None)
+    sn.add_argument("--restore", action="store_true")
+    sn.add_argument("--list", action="store_true")
+    sn.set_defaults(fn=cmd_snapshot)
 
     c = sub.add_parser("compact", help="fold streamed deltas into the block index")
     c.add_argument("--index", required=True)

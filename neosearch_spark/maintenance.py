@@ -541,6 +541,105 @@ def upsert_docs(
         return _upsert_docs_locked(spark, index_dir, new_docs, crash_after)
 
 
+_SNAPSHOT_TABLES = (
+    "docs", "doc_len_extra", "blocks", "terms", "stats", "counters",
+    "tf_delta", "doc_len_delta",
+)
+
+
+def _link_tree(src: str, dst: str) -> int:
+    """Hard-link every file under src into the same relative layout
+    under dst; returns the file count."""
+    n = 0
+    for base, _, files in os.walk(src):
+        rel = os.path.relpath(base, src)
+        tgt = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(base, f), os.path.join(tgt, f))
+            n += 1
+    return n
+
+
+def snapshot(index_dir: str, tag: str) -> dict:
+    """Zero-copy point-in-time snapshot: hard-link every table file
+    into ``snapshots/<tag>/`` plus the manifest.  Parquet files are
+    immutable here — every maintenance op REPLACES files via
+    directory swaps, never modifies one in place (streaming only adds
+    new delta files) — so a hard-linked tree is a durable consistent
+    view at O(#files) metadata cost, no data copied.  This is the
+    parquet stand-in for an Iceberg snapshot; the reference's analog
+    is dump/restore (``docs/dump-restore.md``), which copies bytes.
+
+    Taken under the writer lock so no swap is mid-flight."""
+    if "/" in tag or tag in (".", ".."):
+        raise ValueError(f"invalid snapshot tag {tag!r}")
+    with writer_lock(index_dir):
+        m = _load_manifest(index_dir)
+        check_not_torn(m, index_dir)
+        snap = os.path.join(index_dir, "snapshots", tag)
+        if os.path.exists(snap):
+            raise RuntimeError(f"snapshot {tag!r} already exists")
+        os.makedirs(snap)
+        n_files = 0
+        for t in _SNAPSHOT_TABLES:
+            src = os.path.join(index_dir, t)
+            if os.path.exists(src):
+                n_files += _link_tree(src, os.path.join(snap, t))
+        shutil.copy2(
+            os.path.join(index_dir, "manifest.json"),
+            os.path.join(snap, "manifest.json"),
+        )
+        return {"tag": tag, "n_files": n_files}
+
+
+def list_snapshots(index_dir: str) -> list[str]:
+    root = os.path.join(index_dir, "snapshots")
+    if not os.path.exists(root):
+        return []
+    return sorted(os.listdir(root))
+
+
+def restore_snapshot(index_dir: str, tag: str) -> dict:
+    """Roll the index back to a snapshot — including from a TORN
+    state (the documented recovery for a crash mid-swap, which is why
+    this does not call ``check_not_torn`` on the current manifest).
+
+    Crash-safe by the same tombstone discipline as ``swap_tables``:
+    the current manifest is tombstoned first, tables are replaced by
+    fresh hard links from the snapshot, and the snapshot's own
+    (tombstone-free) manifest lands last via atomic rename — a crash
+    anywhere in between leaves an index that refuses to open and a
+    restore that can simply be re-run."""
+    snap = os.path.join(index_dir, "snapshots", tag)
+    if not os.path.exists(os.path.join(snap, "manifest.json")):
+        raise RuntimeError(f"no snapshot {tag!r} at {snap}")
+    with writer_lock(index_dir):
+        try:
+            m = _load_manifest(index_dir)
+        except (OSError, json.JSONDecodeError):
+            m = {}
+        m["swap_in_progress"] = {"op": "restore_snapshot", "tag": tag}
+        _save_manifest(index_dir, m)
+        n_files = 0
+        for t in _SNAPSHOT_TABLES:
+            cur = os.path.join(index_dir, t)
+            src = os.path.join(snap, t)
+            tmp = cur + "_restore_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(src):
+                n_files += _link_tree(src, tmp)
+                if os.path.exists(cur):
+                    shutil.rmtree(cur)
+                os.replace(tmp, cur)
+            elif os.path.exists(cur):
+                shutil.rmtree(cur)
+        snap_manifest = os.path.join(index_dir, "manifest.json.restore_tmp")
+        shutil.copy2(os.path.join(snap, "manifest.json"), snap_manifest)
+        os.replace(snap_manifest, os.path.join(index_dir, "manifest.json"))
+        return {"tag": tag, "n_files": n_files}
+
+
 def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
     """Fold index ``src`` into index ``dst`` — the distributed analog
     of an LSM segment merge (the reference's store compacts segments

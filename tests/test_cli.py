@@ -132,3 +132,21 @@ def test_upsert_subcommand(spark, tmp_path, capsys):
     si = SparkIndex(spark, d)
     assert si.n_docs == 120
     assert {r["doc_id"] for r in si.term_docs("cliupserted").collect()} == {0, 1}
+
+
+def test_snapshot_subcommand(spark, tmp_path, capsys):
+    d = str(tmp_path / "cli_snap_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 100, seed=2))
+    IndexBuilder(d, span=32).build(docs)
+    assert cli.main(["snapshot", "--index", d, "--tag", "v1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok" and out["n_files"] > 0
+    assert cli.main(["snapshot", "--index", d, "--list"]) == 0
+    assert json.loads(capsys.readouterr().out)["snapshots"] == ["v1"]
+    cli.main(["delete", "--index", d, "--ids", "1,2"])
+    capsys.readouterr()
+    assert cli.main(["snapshot", "--index", d, "--tag", "v1", "--restore"]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "ok"
+    from neosearch_spark.query import SparkIndex
+
+    assert SparkIndex(spark, d).n_docs == 100

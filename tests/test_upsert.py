@@ -259,3 +259,68 @@ def test_merge_indexes_equals_union_rebuild(spark, tmp_path):
     assert {r["doc_id"] for r in a.term_docs("bwins").collect()} == set(
         range(120, 140)
     )
+
+
+def test_snapshot_restore_roundtrip_and_torn_recovery(spark, tmp_path):
+    """Zero-copy snapshots: hard-linked point-in-time views survive
+    subsequent maintenance (file replacement, not mutation), restore
+    rolls back exactly, and restore is the documented recovery path
+    from a crash mid-swap (torn index)."""
+    import os
+
+    from neosearch_spark.maintenance import (
+        list_snapshots,
+        restore_snapshot,
+        snapshot,
+    )
+
+    docs = assign_doc_ids(synth_transcripts(spark, 150, seed=51))
+    d = str(tmp_path / "snap_idx")
+    IndexBuilder(d, span=32).build(docs)
+    before_logical = _logical(spark, d)
+    si = SparkIndex(spark, d)
+    before_stats = (si.n_docs, si.avgdl)
+    info = snapshot(d, "v1")
+    assert info["n_files"] > 0
+    assert list_snapshots(d) == ["v1"]
+
+    # mutate: delete + upsert, index diverges from the snapshot
+    from neosearch_spark.maintenance import delete_docs
+
+    delete_docs(spark, d, spark.createDataFrame([(3,), (7,)], "doc_id long"))
+    upsert_docs(
+        spark,
+        d,
+        docs.where(F.col("doc_id") == 1).withColumn("text", F.lit("mutated tok")),
+    )
+    assert _logical(spark, d) != before_logical
+
+    # restore → exact rollback (logical content AND stats)
+    restore_snapshot(d, "v1")
+    assert _logical(spark, d) == before_logical
+    si2 = SparkIndex(spark, d)
+    assert (si2.n_docs, si2.avgdl) == before_stats
+
+    # torn-state recovery: crash mid-swap, index refuses to open,
+    # restore brings it back
+    batch = docs.where(F.col("doc_id") == 2).withColumn("text", F.lit("crash tok"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_docs(spark, d, batch, crash_after=0)
+    with pytest.raises(RuntimeError, match="torn table swap"):
+        SparkIndex(spark, d)
+    restore_snapshot(d, "v1")
+    assert _logical(spark, d) == before_logical
+    assert SparkIndex(spark, d).n_docs == before_stats[0]
+
+    # snapshot files are hard links, not copies (same inode)
+    some = None
+    for base, _, files in os.walk(os.path.join(d, "snapshots", "v1", "blocks")):
+        for f in files:
+            if f.endswith(".parquet"):
+                some = os.path.join(base, f)
+                break
+        if some:
+            break
+    assert some is not None
+    live = os.path.join(d, "blocks", os.path.relpath(some, os.path.join(d, "snapshots", "v1", "blocks")))
+    assert os.stat(some).st_ino == os.stat(live).st_ino
