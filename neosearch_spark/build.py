@@ -1028,6 +1028,13 @@ class IndexBuilder:
         if stop("docs"):
             return
         docs_t = spark.read.parquet(self.path("docs"))
+        # the doc store's schema is corpus-dependent; persist it so
+        # maintenance/query can read the table explicitly even after
+        # a delete empties every doc_part directory (schema inference
+        # fails on a file-less table)
+        if m["params"].get("docs_schema") != docs_t.schema.json():
+            m["params"]["docs_schema"] = docs_t.schema.json()
+            self._save_manifest(m)
 
         # stage: stats — free on the build path (the docs write
         # observed them); a resume that skipped the docs stage

@@ -249,7 +249,7 @@ def rebuild_touched_buckets(
     if not touched_buckets:
         return [], []
 
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = read_blocks(spark, index_dir)
     bl_t = blocks.where(F.col("bucket").isin(touched_buckets))
     keys = affected.select("field", "term", "span_id")
     carried = bl_t.join(keys, ["field", "term", "span_id"], "left_anti")
@@ -276,8 +276,11 @@ def rebuild_touched_buckets(
     )
 
     terms_tmp = os.path.join(index_dir, "terms") + "_tmp"
+    # explicit schema: a delete that empties EVERY touched group
+    # writes blocks_tmp with no parquet files, and a schema-less read
+    # of it would fail instead of yielding the empty terms table
     (
-        spark.read.parquet(blocks_tmp)
+        spark.read.schema(BLOCK_SCHEMA + ", bucket int").parquet(blocks_tmp)
         .groupBy("bucket", "field", "term")
         .agg(
             F.sum("n_docs").cast("long").alias("df"),
@@ -296,6 +299,31 @@ def rebuild_touched_buckets(
         index_dir, "terms", terms_tmp, "bucket", touched_buckets
     )
     return pairs, touched_buckets
+
+
+def read_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Blocks table with its explicit schema — valid even when a
+    delete emptied every bucket directory (inference would fail)."""
+    from .build import BLOCK_SCHEMA
+
+    return spark.read.schema(BLOCK_SCHEMA + ", bucket int").parquet(
+        os.path.join(index_dir, "blocks")
+    )
+
+
+def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Doc-store table, using the build-recorded schema when present
+    (valid even when every doc_part directory was deleted); indexes
+    built before the schema was recorded fall back to inference."""
+    schema_json = (
+        _load_manifest(index_dir).get("params", {}).get("docs_schema")
+    )
+    reader = spark.read
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(os.path.join(index_dir, "docs"))
 
 
 def _cleanup_tmp_roots(index_dir: str) -> None:
@@ -351,7 +379,7 @@ def _delete_docs_locked(
 
     ids = ids.select(F.col("doc_id").cast("long")).distinct()
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = read_docs(spark, index_dir)
     deleted_docs = docs.join(ids, "doc_id", "semi").persist()
 
     # streamed docs (postings but no doc-store row) live only in
@@ -361,7 +389,7 @@ def _delete_docs_locked(
     extra_deleted = None
     if os.path.exists(extra_path):
         extra_deleted = (
-            spark.read.parquet(extra_path).join(ids, "doc_id", "semi").persist()
+            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path).join(ids, "doc_id", "semi").persist()
         )
 
     # --- affected (field, term, span) groups from the deleted docs'
@@ -381,7 +409,7 @@ def _delete_docs_locked(
     affected = occ.select(
         "field", "term", F.expr(f"doc_id div {span}").alias("span_id")
     ).distinct()
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = read_blocks(spark, index_dir)
     if extra_deleted is not None:
         extra_spans = [
             r["s"]
@@ -470,7 +498,7 @@ def _delete_docs_locked(
     if extra_deleted is not None:
         extra_tmp = extra_path + "_tmp"
         (
-            spark.read.parquet(extra_path)
+            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
             .where(F.col("doc_part").isin(touched_parts))
             .join(ids, "doc_id", "left_anti")
             .write.mode("overwrite")
@@ -654,7 +682,7 @@ def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
     src_m = _load_manifest(src_dir)
     check_not_torn(src_m, src_dir)
     extra = os.path.join(src_dir, "doc_len_extra")
-    if os.path.exists(extra) and len(spark.read.parquet(extra).take(1)) > 0:
+    if os.path.exists(extra) and len(spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra).take(1)) > 0:
         raise RuntimeError(
             f"source index {src_dir} has streamed-only docs "
             "(doc_len_extra) whose content is not in its doc store; "
@@ -704,7 +732,7 @@ def _upsert_docs_locked(
     ).persist()
     ids = batch.select("doc_id").distinct()
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = read_docs(spark, index_dir)
     replaced_docs = docs.join(ids, "doc_id", "semi").persist()
 
     # streamed docs (postings but no doc-store row): content unknown,
@@ -714,7 +742,7 @@ def _upsert_docs_locked(
     extra_replaced = None
     if os.path.exists(extra_path):
         extra_replaced = (
-            spark.read.parquet(extra_path).join(ids, "doc_id", "semi").persist()
+            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path).join(ids, "doc_id", "semi").persist()
         )
 
     # --- affected groups: OLD content of replaced docs ∪ NEW batch
@@ -736,7 +764,7 @@ def _upsert_docs_locked(
         .unionByName(new_tf.select("field", "term", "span_id"))
         .distinct()
     )
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    blocks = read_blocks(spark, index_dir)
     if extra_replaced is not None:
         extra_spans = [
             r["s"]
@@ -835,7 +863,7 @@ def _upsert_docs_locked(
     if extra_replaced is not None:
         extra_tmp = extra_path + "_tmp"
         (
-            spark.read.parquet(extra_path)
+            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
             .where(F.col("doc_part").isin(touched_parts))
             .join(ids, "doc_id", "left_anti")
             .write.mode("overwrite")

@@ -103,20 +103,37 @@ class SparkIndex:
     @property
     def blocks(self) -> DataFrame:
         if self._blocks_df is None:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            from .build import BLOCK_SCHEMA
+
+            # explicit schema: valid even when maintenance emptied
+            # every bucket directory (schema inference would fail)
+            df = self.spark.read.schema(BLOCK_SCHEMA + ", bucket int").parquet(
+                os.path.join(self.index_dir, "blocks")
+            )
             self._blocks_df = df.cache() if self._cache else df
         return self._blocks_df
 
     @property
     def terms(self) -> DataFrame:
         if self._terms_df is None:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+            df = self.spark.read.schema(
+                "field string, term string, df long, max_tf_norm double, "
+                "n_blocks long, bucket int"
+            ).parquet(os.path.join(self.index_dir, "terms"))
             self._terms_df = df.cache() if self._cache else df
         return self._terms_df
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        schema_json = self.manifest["params"].get("docs_schema")
+        reader = self.spark.read
+        if schema_json:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(_json.loads(schema_json)))
+        return reader.parquet(os.path.join(self.index_dir, "docs"))
 
     @property
     def doc_len(self) -> DataFrame:
@@ -130,9 +147,9 @@ class SparkIndex:
         extra = os.path.join(self.index_dir, "doc_len_extra")
         if os.path.exists(extra):
             dl = dl.unionByName(
-                self.spark.read.parquet(extra).select(
-                    "doc_id", F.col("dl").cast("long").alias("dl")
-                )
+                self.spark.read.schema("doc_id long, dl long, doc_part int")
+                .parquet(extra)
+                .select("doc_id", F.col("dl").cast("long").alias("dl"))
             )
         return dl
 

@@ -106,6 +106,7 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     from .maintenance import (
         _explode_blocks_stream,
         partition_swap_pairs,
+        read_blocks,
         rebuild_touched_buckets,
         swap_tables,
     )
@@ -158,7 +159,7 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     extra_new = delta_parted
     if os.path.exists(extra_path):
         extra_new = (
-            spark.read.parquet(extra_path)
+            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
             .where(F.col("doc_part").isin(touched_parts))
             .unionByName(delta_parted)
             .dropDuplicates(["doc_id"])
@@ -181,7 +182,7 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     bucket_list = sorted(
         r["bucket"] for r in affected.select("bucket").distinct().collect()
     )
-    base = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    base = read_blocks(spark, index_dir)
     base_scan = (
         base.where(F.col("bucket").isin(bucket_list))
         if bucket_list

@@ -162,3 +162,22 @@ def test_float_bool_predicates_pushed(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [
         i for i in range(100) if i * 0.5 >= 10.0 and i % 2 == 0
     ]
+
+
+def test_pack_shards_single_range_shuffle(spark):
+    """Regression guard: the local cumsum must stay a narrow
+    mapInPandas over the range layout — a window PARTITION BY pid
+    would insert a second (hash) exchange behind the range one."""
+    from neosearch_spark.ops import curate
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        curate.pack_shards(docs, budget=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_pid" not in plan
+    assert "rangepartitioning(doc_id" in plan

@@ -324,3 +324,42 @@ def test_snapshot_restore_roundtrip_and_torn_recovery(spark, tmp_path):
     assert some is not None
     live = os.path.join(d, "blocks", os.path.relpath(some, os.path.join(d, "snapshots", "v1", "blocks")))
     assert os.stat(some).st_ino == os.stat(live).st_ino
+
+
+def test_maintenance_edge_cases(spark, tmp_path):
+    """Empty batches, absent ids, delete-everything, and querying the
+    emptied index all behave (no crashes, exact counters)."""
+    from neosearch_spark.maintenance import delete_docs
+
+    docs = assign_doc_ids(synth_transcripts(spark, 80, seed=6)).cache()
+    d = str(tmp_path / "edge_idx")
+    IndexBuilder(d, span=32).build(docs)
+
+    # upsert of ids that don't exist = pure insert
+    ins = docs.where(F.col("doc_id") < 2).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    c = upsert_docs(spark, d, ins)
+    assert c["n_upserted"] == 2 and c["n_replaced"] == 0
+    assert SparkIndex(spark, d).n_docs == 82
+
+    # delete of absent ids touches nothing
+    c = delete_docs(
+        spark, d, spark.createDataFrame([(5555,)], "doc_id long")
+    )
+    assert c["n_deleted"] == 0 and c["n_blocks_touched"] == 0
+
+    # delete EVERYTHING → empty but openable index; queries return 0
+    all_ids = docs.select("doc_id").unionByName(ins.select("doc_id"))
+    c = delete_docs(spark, d, all_ids)
+    assert c["n_deleted"] == 82
+    si = SparkIndex(spark, d)
+    assert si.n_docs == 0
+    assert si.term_docs("tok1").count() == 0
+    assert si.bm25_topk("tok1 tok2", 5).count() == 0
+
+    # and the empty index accepts new docs again
+    c = upsert_docs(spark, d, docs.where(F.col("doc_id") < 3))
+    assert c["n_upserted"] == 3 and c["n_replaced"] == 0
+    assert SparkIndex(spark, d).n_docs == 3
+    assert si.n_docs == 0  # old handle's stats were read at open
