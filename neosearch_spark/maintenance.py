@@ -823,6 +823,7 @@ def _upsert_docs_locked(
     keys = affected.select("field", "term", "span_id")
     touched_blocks = bl_scan.join(keys, ["field", "term", "span_id"])
     n_touched_blocks = touched_blocks.count()
+    n_touched_spans = int(keys.select("span_id").distinct().count())
     surviving_tf = (
         _explode_blocks_stream(touched_blocks)
         .join(ids, "doc_id", "left_anti")
@@ -878,7 +879,7 @@ def _upsert_docs_locked(
     counters = {
         "n_upserted": n_batch,
         "n_replaced": n_rep,
-        "touched_spans": int(keys.select("span_id").distinct().count()),
+        "touched_spans": n_touched_spans,
         "n_blocks_touched": int(n_touched_blocks),
         "touched_buckets": len(touched_buckets),
         "touched_doc_parts": len(touched_parts),
