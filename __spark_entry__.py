@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # vocabulary introspection from the terms table (no posting decode)
+    q["idx_top_terms"] = lambda s, d: _doc_index(s, d).top_terms(20)
+
     # nested struct-path + array-element fields through the block index
     q["idx_nested_field"] = lambda s, d: _feature_index(s, d).term_docs(
         "fr", field="meta.lang"
@@ -642,6 +645,12 @@ SELECT DISTINCT doc_id FROM toks WHERE token = 'upserttok' ORDER BY doc_id"""
 WITH {UPS_CORPUS},
 dl AS (SELECT len(string_split(lower(trim(text)), ' '))::BIGINT AS dl FROM corpus)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"""
+
+    o["idx_top_terms"] = """
+WITH toks AS (SELECT DISTINCT doc_id,
+  unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term)
+SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 20"""
 
     o["idx_nested_field"] = (
         "SELECT doc_id FROM documents WHERE lang = 'fr' ORDER BY doc_id"

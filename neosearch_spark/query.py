@@ -285,6 +285,21 @@ class SparkIndex:
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
 
+    def top_terms(self, n: int = 20, field: str = "text") -> DataFrame:
+        """Vocabulary introspection: the ``n`` highest-df terms of a
+        field, (df desc, term asc) — served entirely from the tiny
+        per-term ``terms`` table, no posting decode.  Whole-string
+        extra terms (``index.go:546-553``) are excluded: they contain
+        a space, real tokens never do."""
+        return (
+            self.terms.where(
+                (F.col("field") == field) & ~F.col("term").contains(" ")
+            )
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), "term")
+            .limit(n)
+        )
+
     def date_docs(self, field: str, value: str, fmt: str | None = None) -> DataFrame:
         """Exact-date lookup on a date-metadata field (reference
         ``index.go:556-574``: date fields index their parsed epoch,
