@@ -671,11 +671,15 @@ WITH fp AS (SELECT doc_id,
 SELECT fp_hash, count(*)::BIGINT AS group_size, min(doc_id) AS survivor_id
 FROM fp GROUP BY fp_hash HAVING count(*) >= 2 ORDER BY survivor_id"""
     o["dedup_incremental"] = f"""
-WITH b AS (SELECT doc_id + 10000000 AS doc_id, {H.format(x="lower(trim(text))")} AS h
+WITH b AS (SELECT doc_id + 10000000 AS doc_id, lower(trim(text)) AS t,
+           {H.format(x="lower(trim(text))")} AS h
            FROM documents WHERE doc_id % 7 = 0),
 c AS (SELECT {H.format(x="lower(trim(text))")} AS h, min(doc_id) AS dup_of
-      FROM documents GROUP BY 1)
-SELECT b.doc_id, c.dup_of FROM b JOIN c USING (h) ORDER BY b.doc_id"""
+      FROM documents GROUP BY 1),
+cand AS (SELECT b.doc_id, c.dup_of, b.t FROM b JOIN c USING (h))
+SELECT cand.doc_id, cand.dup_of FROM cand
+JOIN documents d ON d.doc_id = cand.dup_of AND lower(trim(d.text)) = cand.t
+ORDER BY cand.doc_id"""
     o["curate_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {H.format(x="doc_id::VARCHAR || ':7'")} / 1152921504606846976.0

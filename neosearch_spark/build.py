@@ -249,13 +249,23 @@ def _whole_string_stream(docs: DataFrame, analyzed_fields: list[str]) -> DataFra
 
 def _tf_stream(docs: DataFrame, analyzed_fields: list[str], exact_fields: list[str]) -> DataFrame:
     """(field, term, doc_id, tf, dl) — aggregated term frequencies
-    (used by the streaming incremental path, where deltas must merge
-    with base postings by key)."""
-    return (
-        _occurrence_stream(docs, analyzed_fields, exact_fields)
+    (used by the streaming delta and upsert paths, where new postings
+    must merge with base postings by key).
+
+    Whole-string extra terms come from ``_whole_string_stream`` with
+    tf=1 — NOT from counting occurrences — mirroring the batch
+    build's singleton side path exactly (which per-row-dedupes array
+    elements and hardcodes tf=1): an upserted/streamed doc must
+    produce byte-identical postings to a fresh rebuild."""
+    tokens = (
+        _occurrence_stream(docs, analyzed_fields, exact_fields, include_whole=False)
         .groupBy("field", "term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    whole = _whole_string_stream(docs, analyzed_fields).withColumn(
+        "tf", F.lit(1).cast("long")
+    )
+    return tokens.unionByName(whole.select("field", "term", "doc_id", "dl", "tf"))
 
 
 def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataFrame:

@@ -187,7 +187,11 @@ def cmd_snapshot(args) -> int:
 
     if args.list:
         print(json.dumps({"snapshots": list_snapshots(args.index)}))
-    elif args.restore:
+        return 0
+    if not args.tag:
+        print(json.dumps({"error": "--tag is required unless --list"}))
+        return 2
+    if args.restore:
         print(json.dumps({"status": "ok", **restore_snapshot(args.index, args.tag)}))
     else:
         print(json.dumps({"status": "ok", **snapshot(args.index, args.tag)}))

@@ -311,6 +311,17 @@ def read_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+EXTRA_SCHEMA = "doc_id long, dl long, doc_part int"
+
+
+def read_extra(spark: SparkSession, index_dir: str) -> DataFrame:
+    """doc_len_extra table (streamed docs' lengths) with its fixed
+    schema — valid even when every doc_part directory was emptied."""
+    return spark.read.schema(EXTRA_SCHEMA).parquet(
+        os.path.join(index_dir, "doc_len_extra")
+    )
+
+
 def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     """Doc-store table, using the build-recorded schema when present
     (valid even when every doc_part directory was deleted); indexes
@@ -326,9 +337,18 @@ def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     return reader.parquet(os.path.join(index_dir, "docs"))
 
 
+def _check_tag(tag: str) -> None:
+    if not tag or "/" in tag or tag in (".", ".."):
+        raise ValueError(f"invalid snapshot tag {tag!r}")
+
+
 def _cleanup_tmp_roots(index_dir: str) -> None:
     for t in ("blocks_tmp", "terms_tmp", "docs_tmp", "doc_len_extra_tmp"):
         shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
+    for t in _SNAPSHOT_TABLES:
+        shutil.rmtree(
+            os.path.join(index_dir, t + "_restore_tmp"), ignore_errors=True
+        )
 
 
 def delete_docs(
@@ -389,7 +409,7 @@ def _delete_docs_locked(
     extra_deleted = None
     if os.path.exists(extra_path):
         extra_deleted = (
-            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path).join(ids, "doc_id", "semi").persist()
+            read_extra(spark, index_dir).join(ids, "doc_id", "semi").persist()
         )
 
     # --- affected (field, term, span) groups from the deleted docs'
@@ -498,7 +518,7 @@ def _delete_docs_locked(
     if extra_deleted is not None:
         extra_tmp = extra_path + "_tmp"
         (
-            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
+            read_extra(spark, index_dir)
             .where(F.col("doc_part").isin(touched_parts))
             .join(ids, "doc_id", "left_anti")
             .write.mode("overwrite")
@@ -600,8 +620,7 @@ def snapshot(index_dir: str, tag: str) -> dict:
     is dump/restore (``docs/dump-restore.md``), which copies bytes.
 
     Taken under the writer lock so no swap is mid-flight."""
-    if "/" in tag or tag in (".", ".."):
-        raise ValueError(f"invalid snapshot tag {tag!r}")
+    _check_tag(tag)
     with writer_lock(index_dir):
         m = _load_manifest(index_dir)
         check_not_torn(m, index_dir)
@@ -639,6 +658,7 @@ def restore_snapshot(index_dir: str, tag: str) -> dict:
     (tombstone-free) manifest lands last via atomic rename — a crash
     anywhere in between leaves an index that refuses to open and a
     restore that can simply be re-run."""
+    _check_tag(tag)
     snap = os.path.join(index_dir, "snapshots", tag)
     if not os.path.exists(os.path.join(snap, "manifest.json")):
         raise RuntimeError(f"no snapshot {tag!r} at {snap}")
@@ -665,6 +685,7 @@ def restore_snapshot(index_dir: str, tag: str) -> dict:
         snap_manifest = os.path.join(index_dir, "manifest.json.restore_tmp")
         shutil.copy2(os.path.join(snap, "manifest.json"), snap_manifest)
         os.replace(snap_manifest, os.path.join(index_dir, "manifest.json"))
+        _cleanup_tmp_roots(index_dir)
         return {"tag": tag, "n_files": n_files}
 
 
@@ -682,14 +703,14 @@ def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
     src_m = _load_manifest(src_dir)
     check_not_torn(src_m, src_dir)
     extra = os.path.join(src_dir, "doc_len_extra")
-    if os.path.exists(extra) and len(spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra).take(1)) > 0:
+    if os.path.exists(extra) and len(read_extra(spark, src_dir).take(1)) > 0:
         raise RuntimeError(
             f"source index {src_dir} has streamed-only docs "
             "(doc_len_extra) whose content is not in its doc store; "
             "merge needs full documents — rebuild the source from its "
             "corpus first"
         )
-    src_docs = spark.read.parquet(os.path.join(src_dir, "docs")).drop(
+    src_docs = read_docs(spark, src_dir).drop(
         "dl", "doc_part"
     )
     return upsert_docs(spark, dst_dir, src_docs)
@@ -742,7 +763,7 @@ def _upsert_docs_locked(
     extra_replaced = None
     if os.path.exists(extra_path):
         extra_replaced = (
-            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path).join(ids, "doc_id", "semi").persist()
+            read_extra(spark, index_dir).join(ids, "doc_id", "semi").persist()
         )
 
     # --- affected groups: OLD content of replaced docs ∪ NEW batch
@@ -795,8 +816,20 @@ def _upsert_docs_locked(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("t"),
         F.max("dl").alias("m"),
+        F.countDistinct("doc_id").alias("nd"),
     ).collect()[0]
     n_batch, t_batch = int(bstat["n"]), int(bstat["t"] or 0)
+    if n_batch != int(bstat["nd"]):
+        batch.unpersist()
+        replaced_docs.unpersist()
+        if extra_replaced is not None:
+            extra_replaced.unpersist()
+        raise ValueError(
+            f"upsert batch has duplicate doc_ids ({n_batch} rows, "
+            f"{int(bstat['nd'])} distinct) — a distributed batch has no "
+            "row order, so last-write-wins is undefined; dedupe the "
+            "batch first"
+        )
     n_new = int(old["n_docs"]) - n_rep + n_batch
     t_new = int(old["total_tokens"]) - t_rep + t_batch
     max_dl = max(int(old["max_dl"]), int(bstat["m"] or 0))
@@ -864,7 +897,7 @@ def _upsert_docs_locked(
     if extra_replaced is not None:
         extra_tmp = extra_path + "_tmp"
         (
-            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
+            read_extra(spark, index_dir)
             .where(F.col("doc_part").isin(touched_parts))
             .join(ids, "doc_id", "left_anti")
             .write.mode("overwrite")

@@ -101,6 +101,9 @@ def pack_shards(
             run = int(c.iloc[-1])
             yield pdf.assign(_lcum=c)
 
+    # persisted so the offsets aggregate and the final output observe
+    # the same layout/cumsums; Spark's ContextCleaner reclaims the
+    # cache once the returned DataFrame is no longer referenced
     local = ordered.mapInPandas(
         _local_cumsum,
         schema=f"{order_col} long, n_tokens long, _pid int, _lcum long",
@@ -120,12 +123,12 @@ def pack_shards(
 
     out = (
         local.join(F.broadcast(off_df), "_pid")
+        # integer `div`, not `/`: double division loses exactness once
+        # the prefix sum passes 2^53 — reachable at the 10^12-doc
+        # design scale (same idiom as the build's span keys)
         .withColumn(
             "shard_id",
-            F.floor(
-                (F.col("_off") + F.col("_lcum") - F.col("n_tokens"))
-                / F.lit(int(budget))
-            ).cast("long"),
+            F.expr(f"(_off + _lcum - n_tokens) div {int(budget)}"),
         )
         .select(order_col, "n_tokens", "shard_id")
     )

@@ -39,7 +39,7 @@ def exact_dedup(docs: DataFrame, field: str = "text") -> DataFrame:
 
 
 def dedup_against(
-    batch: DataFrame, corpus: DataFrame, field: str = "text"
+    batch: DataFrame, corpus: DataFrame, field: str = "text", confirm: bool = True
 ) -> DataFrame:
     """Incremental exact dedup: which docs of a NEW batch duplicate
     (by normalized text) a doc already in an EXISTING corpus — the
@@ -50,16 +50,30 @@ def dedup_against(
     co-locate by hash, nothing is ever compared all-pairs.  At 100 TB
     the corpus side is the big one — it arrives as hashes only
     (8 B/doc), and a pre-aggregated corpus hash table (min doc_id per
-    hash) can be persisted once and reused across batches.  Returns
+    hash) can be persisted once and reused across batches.
+
+    ``confirm`` (default) re-checks actual text equality on the
+    candidate set — a join bounded by #candidates, not corpus size —
+    so a 60-bit collision can never flag a non-duplicate for
+    dropping (at 10^12×10^9 corpus×batch, expected raw collisions
+    are ~10^3; confirmed output has zero false positives).  Returns
     (doc_id, dup_of) — the batch doc and the smallest matching corpus
     doc_id."""
-    b = batch.select("doc_id", _h60(norm_col(F.col(field))).alias("text_hash"))
+    b = batch.select(
+        "doc_id", norm_col(F.col(field)).alias("_bt")
+    ).withColumn("text_hash", _h60(F.col("_bt")))
     c = (
         corpus.select(_h60(norm_col(F.col(field))).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("dup_of"))
     )
-    return b.join(c, "text_hash").select("doc_id", "dup_of").orderBy("doc_id")
+    cand = b.join(c, "text_hash")
+    if confirm:
+        corp_txt = corpus.select(
+            F.col("doc_id").alias("dup_of"), norm_col(F.col(field)).alias("_ct")
+        )
+        cand = cand.join(corp_txt, "dup_of").where(F.col("_bt") == F.col("_ct"))
+    return cand.select("doc_id", "dup_of").orderBy("doc_id")
 
 
 def fingerprint_dedup(docs: DataFrame, field: str = "text", n_prefix_tokens: int = 5) -> DataFrame:

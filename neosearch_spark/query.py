@@ -103,13 +103,11 @@ class SparkIndex:
     @property
     def blocks(self) -> DataFrame:
         if self._blocks_df is None:
-            from .build import BLOCK_SCHEMA
+            from .maintenance import read_blocks
 
             # explicit schema: valid even when maintenance emptied
             # every bucket directory (schema inference would fail)
-            df = self.spark.read.schema(BLOCK_SCHEMA + ", bucket int").parquet(
-                os.path.join(self.index_dir, "blocks")
-            )
+            df = read_blocks(self.spark, self.index_dir)
             self._blocks_df = df.cache() if self._cache else df
         return self._blocks_df
 
@@ -125,15 +123,9 @@ class SparkIndex:
 
     @property
     def docs(self) -> DataFrame:
-        schema_json = self.manifest["params"].get("docs_schema")
-        reader = self.spark.read
-        if schema_json:
-            import json as _json
+        from .maintenance import read_docs
 
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(_json.loads(schema_json)))
-        return reader.parquet(os.path.join(self.index_dir, "docs"))
+        return read_docs(self.spark, self.index_dir)
 
     @property
     def doc_len(self) -> DataFrame:
@@ -146,10 +138,12 @@ class SparkIndex:
         dl = self.docs.select("doc_id", F.col("dl").cast("long").alias("dl"))
         extra = os.path.join(self.index_dir, "doc_len_extra")
         if os.path.exists(extra):
+            from .maintenance import read_extra
+
             dl = dl.unionByName(
-                self.spark.read.schema("doc_id long, dl long, doc_part int")
-                .parquet(extra)
-                .select("doc_id", F.col("dl").cast("long").alias("dl"))
+                read_extra(self.spark, self.index_dir).select(
+                    "doc_id", F.col("dl").cast("long").alias("dl")
+                )
             )
         return dl
 

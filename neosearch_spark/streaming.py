@@ -107,6 +107,7 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
         _explode_blocks_stream,
         partition_swap_pairs,
         read_blocks,
+        read_extra,
         rebuild_touched_buckets,
         swap_tables,
     )
@@ -159,7 +160,7 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     extra_new = delta_parted
     if os.path.exists(extra_path):
         extra_new = (
-            spark.read.schema("doc_id long, dl long, doc_part int").parquet(extra_path)
+            read_extra(spark, index_dir)
             .where(F.col("doc_part").isin(touched_parts))
             .unionByName(delta_parted)
             .dropDuplicates(["doc_id"])

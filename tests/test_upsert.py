@@ -363,3 +363,56 @@ def test_maintenance_edge_cases(spark, tmp_path):
     assert c["n_upserted"] == 3 and c["n_replaced"] == 0
     assert SparkIndex(spark, d).n_docs == 3
     assert si.n_docs == 0  # old handle's stats were read at open
+
+
+def test_upsert_array_whole_string_dedupe(spark, tmp_path):
+    """An upserted doc with duplicate-normalized array elements must
+    produce the same postings as a fresh rebuild: the build's
+    singleton side path per-row-dedupes whole-string terms (tf=1),
+    and _tf_stream must mirror that, not count occurrences."""
+    rows = [
+        (0, "alpha beta", ["New York", "boston common"]),
+        (1, "gamma delta", ["x y", "p q"]),
+        (2, "epsilon zeta", ["a b"]),
+    ]
+    schema = "doc_id long, text string, tags array<string>"
+    docs = spark.createDataFrame(rows, schema)
+    batch = spark.createDataFrame(
+        [(1, "gamma delta", ["New York", "new york", "NEW  york"])], schema
+    )
+
+    d_up = str(tmp_path / "arr_up")
+    IndexBuilder(d_up, span=32, analyzed_fields=["text", "tags"]).build(docs)
+    upsert_docs(spark, d_up, batch)
+
+    d_fresh = str(tmp_path / "arr_fresh")
+    IndexBuilder(d_fresh, span=32, analyzed_fields=["text", "tags"]).build(
+        docs.where(F.col("doc_id") != 1).unionByName(batch)
+    )
+    assert _logical(spark, d_up) == _logical(spark, d_fresh)
+
+    # the whole-string term appears once (tf=1) for the upserted doc
+    si = SparkIndex(spark, d_up)
+    got = [
+        (r["field"], r["term"], r["doc_id"], r["tf"])
+        for r in _explode_blocks_stream(
+            si.blocks.where(F.col("term") == "new york")
+        ).collect()
+    ]
+    assert sorted(got) == [
+        ("tags", "new york", 0, 1),
+        ("tags", "new york", 1, 1),
+    ]
+
+
+def test_upsert_rejects_duplicate_batch_ids(spark, tmp_path):
+    docs = assign_doc_ids(synth_transcripts(spark, 60, seed=4))
+    d = str(tmp_path / "dup_batch")
+    IndexBuilder(d, span=32).build(docs)
+    dup = spark.createDataFrame(
+        [(1, "one"), (1, "two")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        upsert_docs(spark, d, dup)
+    # index unchanged and still consistent
+    assert SparkIndex(spark, d).n_docs == 60
