@@ -374,55 +374,6 @@ def _encode_blocks_batch(pdf: pd.DataFrame, avgdl: float, span: int) -> pd.DataF
     return out
 
 
-def singleton_encoder(avgdl: float, span: int):
-    """mapInPandas generator: one block PER ROW (n_docs=1, tf=1).
-
-    Used for whole-string terms: a doc indexes its whole string
-    exactly once, and emitting singletons keeps the index content a
-    pure function of the data — independent of partitioning (merged
-    blocks would depend on which partition duplicate texts landed
-    in, breaking cross-parallelism determinism)."""
-
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-            dl = pdf["dl"].to_numpy(dtype=np.int64)
-            docs_buf, docs_len = codec.varint_encode_with_lengths(
-                doc.astype(np.uint64)
-            )
-            dls_buf, dls_len = codec.varint_encode_with_lengths(
-                dl.astype(np.uint64)
-            )
-            raw_docs = docs_buf.tobytes()
-            raw_dls = dls_buf.tobytes()
-            doff = np.concatenate(([0], np.cumsum(docs_len)))
-            loff = np.concatenate(([0], np.cumsum(dls_len)))
-            tf_norm = (K1 + 1.0) / (1.0 + K1 * (1.0 - B + B * dl / avgdl))
-            part = int(pdf["part_id"].iloc[0]) if "part_id" in pdf else -1
-            yield pd.DataFrame(
-                {
-                    "field": pdf["field"].to_numpy(),
-                    "term": pdf["term"].to_numpy(),
-                    "span_id": doc // span,
-                    "first_doc": doc,
-                    "n_docs": np.ones(len(pdf), dtype=np.int32),
-                    "docs_enc": [
-                        raw_docs[doff[i] : doff[i + 1]] for i in range(len(pdf))
-                    ],
-                    "tfs_enc": [b"\x01"] * len(pdf),
-                    "dls_enc": [
-                        raw_dls[loff[i] : loff[i + 1]] for i in range(len(pdf))
-                    ],
-                    "max_tf": np.ones(len(pdf), dtype=np.float64),
-                    "max_tf_norm": tf_norm,
-                    "enc_avgdl": np.full(len(pdf), avgdl, dtype=np.float64),
-                    "part_id": np.full(len(pdf), part, dtype=np.int32),
-                }
-            )
-
-    return encode
 
 
 def _arrow_binary(offsets: np.ndarray, data: np.ndarray):
@@ -608,7 +559,7 @@ def arrow_carry_encoder(
 
 
 def arrow_singleton_encoder(avgdl: float, span: int):
-    """mapInArrow variant of ``singleton_encoder`` (whole-string
+    """Arrow-native whole-string singleton-block encoder (whole-string
     terms): one block per input row, zero per-row Python objects."""
     import pyarrow as pa
 
@@ -696,11 +647,16 @@ def sample_term_boundaries(
     occ = _occurrence_stream(
         sample, analyzed_fields, exact_fields, include_whole=True
     )
-    # second-level sample keeps the driver collect ~30k strings
+    # second-level sample keeps the driver collect ~30k strings.
+    # The occurrence count is MEASURED (one cheap count over the doc
+    # sample), not guessed from an assumed tokens/doc — long-document
+    # corpora would otherwise collect len/20× more strings than
+    # intended (unbounded driver pull)
+    n_occ = occ.count()
     terms = [
         r["term"]
         for r in occ.select("term").sample(
-            fraction=min(1.0, 30_000 / max(n_rows * 20 * frac, 1)), seed=7
+            fraction=min(1.0, 30_000 / max(n_occ, 1)), seed=7
         ).collect()
     ]
     if len(terms) < n_buckets:
@@ -1037,13 +993,24 @@ class IndexBuilder:
             self._mark_stage(m, "docs", fp, rows=n_rows)
         if stop("docs"):
             return
-        docs_t = spark.read.parquet(self.path("docs"))
-        # the doc store's schema is corpus-dependent; persist it so
-        # maintenance/query can read the table explicitly even after
-        # a delete empties every doc_part directory (schema inference
-        # fails on a file-less table)
-        if m["params"].get("docs_schema") != docs_t.schema.json():
-            m["params"]["docs_schema"] = docs_t.schema.json()
+        # the doc store's schema is corpus-dependent: derive it from
+        # the input (input columns + stored dl + doc_part partition
+        # key), read the table with it explicitly, and persist it so
+        # maintenance/query can do the same even after a delete — or
+        # an empty input — leaves every doc_part directory file-less
+        # (schema inference fails on a file-less table)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        docs_schema = StructType(
+            [f for f in docs.schema.fields if f.name not in ("dl", "doc_part")]
+            + [
+                StructField("dl", IntegerType()),
+                StructField("doc_part", IntegerType()),
+            ]
+        )
+        docs_t = spark.read.schema(docs_schema).parquet(self.path("docs"))
+        if m["params"].get("docs_schema") != docs_schema.json():
+            m["params"]["docs_schema"] = docs_schema.json()
             self._save_manifest(m)
 
         # stage: stats — free on the build path (the docs write
@@ -1057,12 +1024,14 @@ class IndexBuilder:
                     F.sum("dl").alias("total_tokens"),
                     F.max("dl").alias("max_dl"),
                 ).collect()[0].asDict()
+            # aggregates observe NULL over zero rows — an empty input
+            # must yield a valid empty index, not a TypeError
             stats_row_in = [
                 (
                     int(obs_stats["n_docs"]),
-                    float(obs_stats["avgdl"]),
-                    int(obs_stats["total_tokens"]),
-                    int(obs_stats["max_dl"]),
+                    float(obs_stats["avgdl"] or 0.0),
+                    int(obs_stats["total_tokens"] or 0),
+                    int(obs_stats["max_dl"] or 0),
                 )
             ]
             spark.createDataFrame(
@@ -1075,6 +1044,28 @@ class IndexBuilder:
         stats_row = spark.read.parquet(self.path("stats")).collect()[0]
         avgdl = float(stats_row["avgdl"])
         max_dl = int(stats_row["max_dl"])
+
+        # doc_id bounds: one column-pruned agg guards the packed
+        # int64 path (doc_id must fit 63-DL_BITS bits) and the int
+        # doc_part partition key — caller-supplied ids outside these
+        # bounds would otherwise overflow SILENTLY into corrupted
+        # postings/partitions
+        idr = docs_t.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        min_doc_id = int(idr["lo"]) if idr["lo"] is not None else 0
+        max_doc_id = int(idr["hi"]) if idr["hi"] is not None else 0
+        if min_doc_id < 0:
+            raise ValueError(
+                f"negative doc_id {min_doc_id}: doc_ids must be "
+                "non-negative (use assign_doc_ids)"
+            )
+        if max_doc_id // docs_span > (1 << 31) - 1:
+            raise ValueError(
+                f"doc_id {max_doc_id} overflows the int doc_part key "
+                f"at docs_span={docs_span}: ids must be dense-ish "
+                "(use assign_doc_ids), not sparse hashes"
+            )
 
         # stage: blocks (span-aligned, delta+varint, block-max meta).
         # ONE shuffle: the raw occurrence stream range-partitions by
@@ -1117,6 +1108,14 @@ class IndexBuilder:
             # stays 64 K entries.  ~40% fewer shuffle/sort bytes per
             # row and int sort keys for the hot majority.
             fields = self.analyzed_fields + exact_all
+            if len(fields) > 127:
+                # fid is a tinyint: code 128 would wrap negative and
+                # numpy fancy-indexing would silently attribute
+                # postings to the wrong field
+                raise ValueError(
+                    f"{len(fields)} indexed fields exceeds the "
+                    "127-field limit of the byte field-code shuffle"
+                )
             field_codes = {f: i for i, f in enumerate(fields)}
             vocab: list[str] = (
                 hot_terms(
@@ -1190,7 +1189,14 @@ class IndexBuilder:
                 # the doc order, and span_id derives from it as an
                 # exchange-only expression.  The Arrow encoder then
                 # processes batches with zero per-row Python objects.
-                dl_bits = DL_BITS if max_dl < (1 << DL_BITS) else None
+                # packed path needs BOTH halves to fit: dl in DL_BITS
+                # and doc_id in the remaining 63-DL_BITS bits
+                dl_bits = (
+                    DL_BITS
+                    if max_dl < (1 << DL_BITS)
+                    and max_doc_id < (1 << (63 - DL_BITS))
+                    else None
+                )
                 if dl_bits is not None:
                     stream = occ.select(
                         "fid",
@@ -1268,7 +1274,11 @@ class IndexBuilder:
             self._mark_stage(m, "blocks", fp)
         if stop("blocks"):
             return
-        blocks_t = spark.read.parquet(self.path("blocks"))
+        # explicit schema: an empty corpus writes a file-less blocks
+        # table (inference would fail)
+        blocks_t = spark.read.schema(BLOCK_SCHEMA + ", bucket int").parquet(
+            self.path("blocks")
+        )
 
         # stage: terms (per-term df/cf + global max block score bound).
         # ONE shuffle (the groupBy); each output file is then sorted
@@ -1318,9 +1328,9 @@ class IndexBuilder:
                 m,
                 "counters",
                 fp,
-                total_blocks=int(tot[0]),
-                total_postings=int(tot[1]),
-                total_bytes=int(tot[2]),
+                total_blocks=int(tot[0] or 0),
+                total_postings=int(tot[1] or 0),
+                total_bytes=int(tot[2] or 0),
             )
 
 

@@ -322,13 +322,17 @@ def read_extra(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_docs(
+    spark: SparkSession, index_dir: str, manifest: dict | None = None
+) -> DataFrame:
     """Doc-store table, using the build-recorded schema when present
     (valid even when every doc_part directory was deleted); indexes
-    built before the schema was recorded fall back to inference."""
-    schema_json = (
-        _load_manifest(index_dir).get("params", {}).get("docs_schema")
-    )
+    built before the schema was recorded fall back to inference.
+    Pass an already-loaded ``manifest`` to skip the disk read (e.g.
+    SparkIndex's open-time snapshot)."""
+    if manifest is None:
+        manifest = _load_manifest(index_dir)
+    schema_json = manifest.get("params", {}).get("docs_schema")
     reader = spark.read
     if schema_json:
         from pyspark.sql.types import StructType

@@ -125,7 +125,10 @@ class SparkIndex:
     def docs(self) -> DataFrame:
         from .maintenance import read_docs
 
-        return read_docs(self.spark, self.index_dir)
+        # open-time manifest snapshot: no per-access manifest I/O, and
+        # the schema seen stays fixed for this handle's lifetime
+        # (reopen-after-maintenance contract)
+        return read_docs(self.spark, self.index_dir, manifest=self.manifest)
 
     @property
     def doc_len(self) -> DataFrame:
@@ -282,16 +285,16 @@ class SparkIndex:
     def top_terms(self, n: int = 20, field: str = "text") -> DataFrame:
         """Vocabulary introspection: the ``n`` highest-df terms of a
         field, (df desc, term asc) — served entirely from the tiny
-        per-term ``terms`` table, no posting decode.  Whole-string
-        extra terms (``index.go:546-553``) are excluded: they contain
-        a space, real tokens never do."""
+        per-term ``terms`` table, no posting decode.  For ANALYZED
+        fields the whole-string extra terms (``index.go:546-553``)
+        are excluded (they contain a space, tokens never do); exact
+        fields keep their multi-word values — there the space test
+        would drop legitimate terms."""
+        t = self.terms.where(F.col("field") == field)
+        if field in self.manifest["params"].get("analyzed_fields", []):
+            t = t.where(~F.col("term").contains(" "))
         return (
-            self.terms.where(
-                (F.col("field") == field) & ~F.col("term").contains(" ")
-            )
-            .select("term", "df")
-            .orderBy(F.col("df").desc(), "term")
-            .limit(n)
+            t.select("term", "df").orderBy(F.col("df").desc(), "term").limit(n)
         )
 
     def date_docs(self, field: str, value: str, fmt: str | None = None) -> DataFrame:
@@ -303,6 +306,11 @@ class SparkIndex:
         epoch-micros term."""
         ts = F.to_timestamp(F.lit(value), fmt) if fmt else F.to_timestamp(F.lit(value))
         us = self.spark.range(1).select(F.unix_micros(ts).alias("us")).collect()[0]["us"]
+        if us is None:
+            raise ValueError(
+                f"date value {value!r} does not parse"
+                + (f" with format {fmt!r}" if fmt else "")
+            )
         return self.term_docs(str(us), field=field)
 
     def range_docs(self, lo: int, hi: int) -> DataFrame:
@@ -401,9 +409,12 @@ class SparkIndex:
             base = span_id * span
             acc = np.zeros(span, dtype=np.float64)
             seen = np.zeros(span, dtype=bool)
-            pdf = pdf.assign(_qp=pdf["term"].map(qpos)).sort_values(
-                ["_qp", "first_doc"], kind="mergesort"
-            )
+            # duplicate-term queries carry a per-OCCURRENCE _qp column
+            # (a dict map would collapse duplicates onto one position,
+            # diverging from the oracle's per-occurrence float order)
+            if "_qp" not in pdf.columns:
+                pdf = pdf.assign(_qp=pdf["term"].map(qpos))
+            pdf = pdf.sort_values(["_qp", "first_doc"], kind="mergesort")
             n_docs = pdf["n_docs"].to_numpy(dtype=np.int64)
             deltas = _varint_decode(b"".join(pdf["docs_enc"].tolist()))
             cum = np.cumsum(deltas.astype(np.int64))
@@ -425,17 +436,30 @@ class SparkIndex:
             return pd.DataFrame({"doc_id": (idx[order] + base).astype(np.int64), "score": sc[order]})
 
         # duplicate query terms score once per occurrence in the
-        # oracle; replicate blocks per duplicate occurrence
-        dup_counts: dict[str, int] = {}
-        for t in qterms:
-            dup_counts[t] = dup_counts.get(t, 0) + 1
-        if any(c > 1 for c in dup_counts.values()):
+        # oracle; replicate blocks per duplicate occurrence, each
+        # replica tagged with ITS occurrence's query position so the
+        # accumulation order matches the oracle even for
+        # non-adjacent duplicates ('a b a')
+        occ_positions: dict[str, list[int]] = {}
+        for i, t in enumerate(qterms):
+            occ_positions.setdefault(t, []).append(i)
+        if any(len(ps) > 1 for ps in occ_positions.values()):
+            posmap = self.spark.createDataFrame(
+                [
+                    (t, r + 1, p)
+                    for t, ps in occ_positions.items()
+                    for r, p in enumerate(ps)
+                ],
+                "term string, _rep int, _qp int",
+            )
             mult = self.spark.createDataFrame(
-                [(t, c) for t, c in dup_counts.items()], "term string, mult int"
+                [(t, len(ps)) for t, ps in occ_positions.items()],
+                "term string, mult int",
             )
             blocks = (
                 blocks.join(F.broadcast(mult), "term")
                 .withColumn("_rep", F.explode(F.sequence(F.lit(1), F.col("mult"))))
+                .join(F.broadcast(posmap), ["term", "_rep"])
                 .drop("mult", "_rep")
             )
 

@@ -17,7 +17,9 @@ N_TURNS = 600
 QUERIES = [
     "tok1 tok3 tok17",
     "neoway business solution",
-    "tok2 tok2 tok5",  # duplicate query term
+    "tok2 tok2 tok5",  # adjacent duplicate query term
+    "tok2 tok5 tok9 tok2",  # NON-adjacent duplicate: accumulation
+    # order must still be per-occurrence in query order on every path
     "tok1",
     "missingterm tok4",
     "MiXeD case tok9",

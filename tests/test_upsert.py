@@ -416,3 +416,60 @@ def test_upsert_rejects_duplicate_batch_ids(spark, tmp_path):
         upsert_docs(spark, d, dup)
     # index unchanged and still consistent
     assert SparkIndex(spark, d).n_docs == 60
+
+
+def test_empty_corpus_build_and_misc_guards(spark, tmp_path):
+    """An empty input yields a valid empty index (not a TypeError);
+    date_docs surfaces parse failures; top_terms keeps multi-word
+    exact-field values while excluding analyzed whole-strings."""
+    d = str(tmp_path / "empty_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    IndexBuilder(d, span=32).build(empty)
+    si = SparkIndex(spark, d)
+    assert si.n_docs == 0
+    assert si.term_docs("anything").count() == 0
+
+    d2 = str(tmp_path / "tt_idx")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma", "new york"), (1, "alpha beta", "new york"),
+         (2, "alpha", "boston")],
+        "doc_id long, text string, city string",
+    )
+    IndexBuilder(d2, span=32, exact_fields=["city"]).build(docs)
+    si2 = SparkIndex(spark, d2)
+    # exact field: multi-word values are real terms, kept
+    top_city = [(r["term"], r["df"]) for r in si2.top_terms(5, field="city").collect()]
+    assert top_city == [("new york", 2), ("boston", 1)]
+    # analyzed field: whole-string extras excluded
+    top_text = [r["term"] for r in si2.top_terms(5, field="text").collect()]
+    assert "alpha beta gamma" not in top_text and "alpha" in top_text
+
+    import pytest as _pytest
+
+    # ANSI mode raises CAST_INVALID_INPUT at parse time; the
+    # explicit does-not-parse guard covers non-ANSI configs
+    with _pytest.raises(Exception, match="does not parse|CAST_INVALID_INPUT"):
+        si2.date_docs("city", "not-a-date")
+
+
+def test_build_rejects_pathological_doc_ids(spark, tmp_path):
+    """Caller-supplied doc_ids outside the engine's bounds fail LOUD
+    (negative ids; sparse hash ids that overflow the partition key)
+    instead of silently corrupting packed postings."""
+    d = str(tmp_path / "bad_ids")
+    neg = spark.createDataFrame([(-1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="negative doc_id"):
+        IndexBuilder(d, span=32).build(neg)
+
+    import shutil as _shutil
+
+    _shutil.rmtree(d, ignore_errors=True)
+    sparse = spark.createDataFrame(
+        [(0, "a b"), ((1 << 62), "c d")], "doc_id long, text string"
+    )
+    # ANSI mode surfaces the doc_part overflow at the docs write
+    # (CAST_OVERFLOW); the build's own guard covers non-ANSI configs
+    with pytest.raises(
+        Exception, match="CAST_OVERFLOW|overflows the int doc_part"
+    ):
+        IndexBuilder(d, span=32).build(sparse)
