@@ -58,12 +58,16 @@ def _eval_dsl(idx, dsl: dict):
     """Evaluate a reference-DSL query dict → doc_id DataFrame."""
     if "$and" in dsl:
         clauses = dsl["$and"]
+        if not clauses:
+            raise ValueError("empty $and clause list")
         res = None
         for c in clauses:
             d = _eval_dsl(idx, c)
             res = d if res is None else res.join(d, "doc_id", "inner")
         return res.orderBy("doc_id")
     if "$or" in dsl:
+        if not dsl["$or"]:
+            raise ValueError("empty $or clause list")
         res = None
         for c in dsl["$or"]:
             d = _eval_dsl(idx, c)

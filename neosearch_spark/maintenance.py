@@ -101,22 +101,42 @@ class writer_lock:
         import time
 
         while True:
+            # write the holder JSON to a private file FIRST, then
+            # publish it with an atomic hard link: a lock file is
+            # never observable empty (a create-then-write would let a
+            # concurrent acquirer read the empty window, classify the
+            # live lock as unreadable→stale, and steal it)
+            tmp = f"{self.path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"pid": os.getpid(), "ts": time.time()}, f)
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                os.link(tmp, self.path)
+                os.remove(tmp)
                 return self
             except FileExistsError:
+                os.remove(tmp)
+                holder_alive = False
                 try:
                     with open(self.path) as f:
                         holder = json.load(f)
-                    os.kill(int(holder["pid"]), 0)  # raises if dead
+                    try:
+                        os.kill(int(holder["pid"]), 0)
+                        holder_alive = True
+                    except ProcessLookupError:
+                        holder_alive = False
+                    except PermissionError:
+                        # EPERM proves the pid EXISTS (another user's
+                        # process) — that is a live holder, not a
+                        # stale lock
+                        holder_alive = True
                 except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                    holder_alive = False  # unreadable/corrupt → stale
+                if not holder_alive:
                     # dead or unreadable holder → stale lock.  Steal via
                     # rename-to-unique (atomic: exactly ONE of N
                     # concurrent stealers succeeds; the rest see
-                    # FileNotFoundError and loop back to the O_EXCL
-                    # create, where they find the winner's fresh lock) —
+                    # FileNotFoundError and loop back to the atomic
+                    # link, where they find the winner's fresh lock) —
                     # a bare os.remove would let a second stealer delete
                     # the winner's just-created lock and double-acquire.
                     try:
@@ -230,6 +250,7 @@ def rebuild_touched_buckets(
     avgdl: float,
     span: int,
     boundaries: list[str],
+    bucket_list: list[int] | None = None,
 ) -> tuple[list[tuple[str, str]], list[int]]:
     """Shared partition-scoped block/terms rewrite for delete and
     compaction.
@@ -243,8 +264,14 @@ def rebuild_touched_buckets(
     Returns (swap pairs, touched bucket list)."""
     from .build import BLOCK_SCHEMA, carry_encoder, term_bucket_expr
 
-    touched_buckets = sorted(
-        r["bucket"] for r in affected.select("bucket").distinct().collect()
+    # callers that already collected the distinct buckets pass them
+    # in — recollecting here would cost a redundant Spark job
+    touched_buckets = (
+        sorted(bucket_list)
+        if bucket_list is not None
+        else sorted(
+            r["bucket"] for r in affected.select("bucket").distinct().collect()
+        )
     )
     if not touched_buckets:
         return [], []
@@ -496,7 +523,8 @@ def _delete_docs_locked(
         .withColumn("span_id", F.expr(f"doc_id div {span}"))
     )
     pairs, touched_buckets = rebuild_touched_buckets(
-        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries
+        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries,
+        bucket_list=bucket_list,
     )
     affected.unpersist()
 
@@ -706,6 +734,12 @@ def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
     doc store) can't be merged — compact and rebuild it first."""
     src_m = _load_manifest(src_dir)
     check_not_torn(src_m, src_dir)
+    # pending uncompacted deltas would be silently dropped (their
+    # postings live outside the doc store) — fold them first
+    if os.path.exists(os.path.join(src_dir, "tf_delta")):
+        from .streaming import compact_deltas
+
+        compact_deltas(spark, src_dir)
     extra = os.path.join(src_dir, "doc_len_extra")
     if os.path.exists(extra) and len(read_extra(spark, src_dir).take(1)) > 0:
         raise RuntimeError(
@@ -868,7 +902,8 @@ def _upsert_docs_locked(
         .unionByName(new_tf.select("field", "term", "doc_id", "tf", "dl", "span_id"))
     )
     pairs, touched_buckets = rebuild_touched_buckets(
-        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries
+        spark, index_dir, affected, surviving_tf, avgdl, span, boundaries,
+        bucket_list=bucket_list,
     )
     affected.unpersist()
 

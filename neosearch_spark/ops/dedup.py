@@ -124,6 +124,13 @@ def minhash_lsh_buckets(
     holding ≥2 docs — the candidate groups.  Join-free; the bucket
     groupBy key spreads uniformly (hash values)."""
     sigs = minhash_signatures(docs, field, n_hashes)
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size="
+            f"{band_size}: trailing hashes would be silently dropped "
+            "and measured recall would undershoot the configured "
+            "S-curve"
+        )
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -93,8 +93,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos = payload.index(b"\n", pos) + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        # EOF-bounded: b''.isspace() is False, so an unbounded scan
+        # would spin forever on a truncated header
+        while end < len(payload) and not payload[end : end + 1].isspace():
             end += 1
+        if end == pos:
+            raise ValueError("truncated PPM header")
         fields.append(int(payload[pos:end]))
         pos = end
     w, h, maxval = fields

@@ -58,21 +58,33 @@ def stream_ingest(
     )
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        tf = _tf_stream(batch, analyzed_fields, [])
-        tf.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            os.path.join(index_dir, "tf_delta")
-        )
-        batch.select(
-            "doc_id", doc_len_col(F.col(analyzed_fields[0])).alias("dl")
-        ).withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            os.path.join(index_dir, "doc_len_delta")
-        )
+        delta_sink(batch, epoch_id, index_dir, analyzed_fields)
 
     return (
         src.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def delta_sink(
+    batch: DataFrame, epoch_id: int, index_dir: str, analyzed_fields: list[str]
+) -> None:
+    """One micro-batch's delta writes, IDEMPOTENT under foreachBatch's
+    at-least-once replay: each epoch overwrites its OWN ``epoch=N``
+    partition directory (an append would double every replayed
+    posting's tf at the next compaction), and a crash between the two
+    writes heals on replay because both directories are rewritten
+    whole."""
+    tf = _tf_stream(batch, analyzed_fields, [])
+    tf.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "tf_delta", f"epoch={int(epoch_id)}")
+    )
+    batch.select(
+        "doc_id", doc_len_col(F.col(analyzed_fields[0])).alias("dl")
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_len_delta", f"epoch={int(epoch_id)}")
     )
 
 
@@ -115,7 +127,13 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     p = manifest["params"]
-    span = span or int(p["span"])
+    if span is not None and int(span) != int(p["span"]):
+        raise ValueError(
+            f"span override {span} != index build span {p['span']}: "
+            "blocks keyed on a different span would be invisible to "
+            "the query side's span-aligned pruning and accumulators"
+        )
+    span = int(p["span"])
     boundaries = p.get("bucket_boundaries", [])
 
     delta_dir = os.path.join(index_dir, "tf_delta")
@@ -200,7 +218,8 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
         .withColumn("span_id", F.expr(f"doc_id div {span}"))
     )
     pairs, _ = rebuild_touched_buckets(
-        spark, index_dir, affected, merged_tf, avgdl, span, boundaries
+        spark, index_dir, affected, merged_tf, avgdl, span, boundaries,
+        bucket_list=bucket_list,
     )
     affected.unpersist()
     dl_delta.unpersist()
@@ -209,6 +228,14 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
         index_dir, "doc_len_extra", extra_tmp, "doc_part", touched_parts
     )
     pairs.append(("stats", stats_tmp))
+    # delta removal rides INSIDE the tombstoned swap (a missing tmp
+    # means "remove the final dir"): a crash after folding but before
+    # removal would otherwise leave a clean-looking index whose next
+    # compaction re-applies the same deltas (doubled tf, double-
+    # counted stats); inside the swap, that crash leaves a torn index
+    # that refuses to open until restored
+    pairs.append(("tf_delta", os.path.join(index_dir, "_no_such_tmp")))
+    pairs.append(("doc_len_delta", os.path.join(index_dir, "_no_such_tmp")))
 
     # all outputs materialized — swap under a manifest tombstone so a
     # crash mid-swap leaves an index that refuses to open rather than
@@ -220,8 +247,6 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
         op="compact_deltas",
         compact_deltas={"touched_groups": int(n_touched)},
     )
-    shutil.rmtree(delta_dir)
-    shutil.rmtree(os.path.join(index_dir, "doc_len_delta"))
     for t in ("blocks_tmp", "terms_tmp", "doc_len_extra_tmp"):
         shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
     return n_touched

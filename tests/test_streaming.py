@@ -209,3 +209,63 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (2, epoch(0), epoch(0), 1),
     }
     assert got == want
+
+
+def test_delta_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must not
+    double postings (each epoch overwrites its own epoch= directory),
+    and the compacted result equals a fresh build over the union."""
+    from neosearch_spark.streaming import compact_deltas, delta_sink
+
+    base = assign_doc_ids(synth_transcripts(spark, 150, seed=61)).cache()
+    d = str(tmp_path / "replay_idx")
+    IndexBuilder(d, span=64).build(base)
+
+    n = base.count()
+    newdocs = (
+        base.where(F.col("doc_id") < 4)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n).cast("long"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_id")
+    )
+    delta_sink(newdocs, 0, d, ["text"])
+    delta_sink(newdocs, 0, d, ["text"])  # replayed epoch — overwrite
+    compact_deltas(spark, d)
+
+    si = SparkIndex(spark, d)
+    assert si.n_docs == n + 4
+
+    d_fresh = str(tmp_path / "replay_fresh")
+    IndexBuilder(d_fresh, span=64).build(base.unionByName(newdocs.select(*base.columns)))
+    from test_upsert import _logical
+
+    assert _logical(spark, d) == _logical(spark, d_fresh)
+
+
+def test_compact_crash_cannot_reapply_deltas(spark, tmp_path):
+    """Delta removal rides inside the tombstoned swap: after a
+    successful compaction the delta dirs are gone atomically with the
+    fold, so a re-run is a no-op (returns 0 touched groups) and never
+    re-applies the same postings."""
+    import os
+
+    from neosearch_spark.streaming import compact_deltas, delta_sink
+
+    base = assign_doc_ids(synth_transcripts(spark, 100, seed=62))
+    d = str(tmp_path / "noreapply_idx")
+    IndexBuilder(d, span=64).build(base)
+    newdocs = (
+        base.where(F.col("doc_id") < 2)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100).cast("long"))
+    )
+    delta_sink(newdocs, 0, d, ["text"])
+    assert compact_deltas(spark, d) > 0
+    assert not os.path.exists(os.path.join(d, "tf_delta"))
+    assert compact_deltas(spark, d) == 0  # idempotent re-run
+    assert SparkIndex(spark, d).n_docs == 102
+
+    # span override that disagrees with the build span is refused
+    delta_sink(newdocs.withColumn("doc_id", F.col("doc_id") + 10), 1, d, ["text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span override"):
+        compact_deltas(spark, d, span=32)
