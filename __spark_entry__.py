@@ -687,7 +687,7 @@ WHERE {H.format(x="doc_id::VARCHAR || ':7'")} / 1152921504606846976.0
 ORDER BY doc_id"""
     o["curate_pack_shards"] = """
 WITH sized AS (SELECT doc_id,
-  len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens FROM documents)
+  coalesce(len(string_split(lower(trim(text)), ' ')), 0)::BIGINT AS n_tokens FROM documents)
 SELECT doc_id, n_tokens,
        (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS shard_id

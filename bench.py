@@ -69,7 +69,10 @@ def main() -> None:
         "bench", cores=CPUS, shuffle_partitions=CPUS,
         extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # reporting field only — never abort the bench on it
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -21,12 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Terms used for BM25 doc_len are the split tokens (the whole-string
-# term is a lookup convenience, not a token — it does not contribute
-# to document length).
-BLOCK_SIZE_DEFAULT = 128
-
-
 def norm_col(c: Column) -> Column:
     """trim(spaces) + lowercase — the normalized string."""
     return F.lower(F.trim(c))

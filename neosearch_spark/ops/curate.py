@@ -42,6 +42,10 @@ def sample_hash(
     from the dict fall back to ``rate`` (or 0.0 if no default).
     Pure codegen'd expressions — no shuffle at all; composes with any
     downstream op."""
+    if rate is None and not strata_rates:
+        raise ValueError("sample_hash needs rate= or strata_rates=")
+    if strata_rates and strata_col is None:
+        raise ValueError("strata_rates requires strata_col")
     frac = _hash_frac(F.col(key_col), seed)
     if strata_rates:
         expr = F.lit(float(rate if rate is not None else 0.0))
@@ -79,8 +83,13 @@ def pack_shards(
     if num_partitions is None:
         num_partitions = max(4, spark.sparkContext.defaultParallelism)
 
+    # NULL text counts as 0 tokens (a NaN would poison the cumsum);
+    # the order column's type is taken from the input so non-long
+    # keys (string conv_id, timestamps) work
+    order_type = docs.schema[order_col].dataType.simpleString()
     sized = docs.select(
-        F.col(order_col), doc_len_col(F.col(field)).alias("n_tokens")
+        F.col(order_col),
+        F.coalesce(doc_len_col(F.col(field)), F.lit(0)).alias("n_tokens"),
     )
     ordered = (
         sized.repartitionByRange(num_partitions, order_col)
@@ -106,7 +115,7 @@ def pack_shards(
     # cache once the returned DataFrame is no longer referenced
     local = ordered.mapInPandas(
         _local_cumsum,
-        schema=f"{order_col} long, n_tokens long, _pid int, _lcum long",
+        schema=f"{order_col} {order_type}, n_tokens long, _pid int, _lcum long",
     ).persist()
 
     part_totals = (

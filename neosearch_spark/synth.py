@@ -68,7 +68,11 @@ def synth_transcripts(
     words = F.transform(F.sequence(F.lit(0), n_tok - 1), tok)
     normal_text = F.array_join(words, " ")
 
-    # ~1/64 rows get a fixed edge-case text (golden fixture F2/F3 shapes).
+    # 8/64 = 12.5% of rows get one of the 8 fixed edge-case texts
+    # (golden fixture F2/F3 shapes) — a deliberately dup-heavy tail:
+    # it exercises hot-term salting in the build and gives the dedup
+    # operators real duplicate mass.  (Do NOT retune: every recorded
+    # benchmark/baseline was measured on this corpus shape.)
     edge_pick = F.pmod(F.xxhash64(F.lit(seed + 3), F.col("id")), F.lit(64))
     edge_arr = F.array(*[F.lit(t) for t in EDGE_TEXTS])
     text = F.when(

@@ -626,3 +626,34 @@ def test_dedup_against_finds_cross_snapshot_dups(spark):
         (r["doc_id"], r["dup_of"])
         for r in dedup.dedup_against(batch2, corpus).collect()
     } == {(100, 0)}
+
+
+def test_dedup_against_confirm_modes_and_band_guard(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + j, f"text number {j}") for j in range(8)],
+        "doc_id long, text string",
+    )
+    # no hash collisions in clean data → the confirm join changes
+    # nothing (it only ever REMOVES false positives)
+    a = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.dedup_against(batch, corpus, confirm=True).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.dedup_against(batch, corpus, confirm=False).collect()
+    )
+    assert a == b
+    # batch docs 100..104 duplicate corpus texts 'text number 0..4';
+    # dup_of is the smallest matching corpus id (= j itself here);
+    # 105..107 have no corpus match
+    assert a == [(100 + j, j) for j in range(5)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        dedup.minhash_lsh_buckets(corpus, n_hashes=10, band_size=4)

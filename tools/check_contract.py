@@ -53,6 +53,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not yield a false-green "all checks
+        # passed" with nothing run
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -85,6 +91,35 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            # canonical type-class comparison (int/float/str/bool/ts)
+            # — name-only matching would hide a string '42' vs BIGINT
+            # 42 divergence that stringified values compare equal
+            def canon(t: str) -> str:
+                t = t.lower()
+                for cls, keys in (
+                    ("int", ("tinyint", "smallint", "int", "bigint", "long", "hugeint")),
+                    ("float", ("float", "double", "real", "decimal")),
+                    ("bool", ("bool",)),
+                    ("ts", ("timestamp", "date")),
+                    ("str", ("string", "varchar", "char", "text")),
+                ):
+                    if any(k in t for k in keys):
+                        return cls
+                return t
+
+            stypes = {c.lower(): canon(t) for c, t in sdf.dtypes}
+            otypes = {
+                c.lower(): canon(str(t))
+                for c, t in zip(rel.columns, rel.types)
+            }
+            mismatch = {
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if stypes[c] != otypes.get(c)
+            }
+            if mismatch:
+                problems.append(f"dtype {mismatch}")
         if not problems:
             sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
             if sk != ok:

@@ -61,9 +61,19 @@ cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); out = sys.argv[3]
 steal = []
 stop = False
 def monitor():
+    # sample steal over the PINNED cpus only (taskset 0..cores-1):
+    # the aggregate `cpu` line would dilute a 2-cpu trial's steal by
+    # the other 30 idle vCPUs (~16x), asymmetrically between levels
+    pinned = {{f"cpu{{i}}" for i in range(cores)}}
     def cpu():
+        tot = [0] * 10
         with open("/proc/stat") as f:
-            return [int(x) for x in f.readline().split()[1:]]
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] in pinned:
+                    for i, x in enumerate(parts[1:]):
+                        tot[i] += int(x)
+        return tot
     prev = cpu()
     while not stop:
         time.sleep(2)
@@ -165,7 +175,8 @@ sig = (
 )
 stop = True
 shutil.rmtree(idx, ignore_errors=True)
-json.dump({{"cores": cores, "build_sec": build_sec, "query_sec": query_sec,
+json.dump({{"cores": cores, "n_turns": n_turns,
+           "build_sec": build_sec, "query_sec": query_sec,
            "batch_query_sec": batch_query_sec,
            "turns_per_sec": n_turns / build_sec, "sig": str(sig),
            "calib_sec": calib_sec, "calib_scan_sec": calib_scan_sec,
@@ -218,6 +229,14 @@ def main() -> None:
             f"(steal avg {lo_runs[-1]['steal_avg']}%)",
             flush=True,
         )
+
+    if replay:
+        # the report must describe the trials' ACTUAL input size, not
+        # whatever n_turns argv defaulted to on the replay invocation
+        recorded = {r.get("n_turns") for r in lo_runs + hi_runs} - {None}
+        if recorded:
+            assert len(recorded) == 1, f"mixed n_turns in trials: {recorded}"
+            n_turns = recorded.pop()
 
     sigs = {r["sig"] for r in lo_runs + hi_runs}
     assert len(sigs) == 1, f"index content differs across trials/levels: {sigs}"
