@@ -201,6 +201,105 @@ def apply_date_fields(docs: DataFrame, date_fields: dict | None) -> DataFrame:
     return docs
 
 
+def apply_typed_fields(docs: DataFrame, typed_fields: dict | None) -> DataFrame:
+    """Inferred non-string exact columns cast to their canonical term
+    strings for INDEXING (the doc store keeps the original typed
+    column, like ``apply_date_fields``).  The reference dispatches on
+    the JSON value's runtime type — numbers to ``<field>_float.idx``,
+    bools to ``<field>_bool.idx``, dates to epoch int64
+    (``lib/neosearch/index/index.go:419-480,556-574``); the Spark
+    analog derives the same mapping from the DataFrame schema once:
+
+    - ``numeric``/``bool`` → ``CAST(col AS STRING)`` terms
+    - ``timestamp``/``date`` → epoch-micros string terms (same
+      key-order property as the reference's UnixNano int64)
+
+    Top-level columns only (struct subfields would collide with
+    Spark's dotted-path resolution under ``withColumn``)."""
+    for f, kind in (typed_fields or {}).items():
+        c = F.col(f)
+        if kind in ("timestamp", "date"):
+            docs = docs.withColumn(f, F.unix_micros(c.cast("timestamp")).cast("string"))
+        else:
+            docs = docs.withColumn(f, c.cast("string"))
+    return docs
+
+
+def infer_fields(schema, doc_id_col: str = "doc_id") -> dict:
+    """Schemaless-style field inference from a DataFrame schema —
+    the declared-fields analog of the reference's reflection-driven
+    per-field dispatch (``lib/neosearch/index/index.go:355-480``),
+    which indexes ANY JSON document without a field list.
+
+    Returns ``{"analyzed_fields", "exact_fields", "date_fields",
+    "typed_fields"}`` ready to splat into :class:`IndexBuilder`:
+
+    - top-level / struct-nested (dotted-path) string → analyzed
+      (the reference's ``_string.idx`` tokenized path)
+    - ``array<string>`` → analyzed with element indexing
+      (``index.go:483-508``)
+    - top-level numeric / bool → exact, cast-to-string terms
+      (``_float.idx``/``_int.idx``/``_bool.idx`` analog)
+    - top-level timestamp / date → exact, epoch-micros terms
+      (``index.go:556-574``)
+    - ``doc_id_col``, binary, map, and nested non-string leaves are
+      not indexed (doc store still keeps them)
+
+    The primary analyzed field (BM25 document length source) is
+    ``text`` when present, else the first string column."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        StructType,
+        TimestampType,
+    )
+
+    analyzed: list[str] = []
+    exact: list[str] = []
+    typed: dict[str, str] = {}
+
+    def walk(fields, prefix: str, top: bool) -> None:
+        for fld in fields:
+            name = f"{prefix}{fld.name}"
+            dt = fld.dataType
+            if top and name == doc_id_col:
+                continue
+            if isinstance(dt, StringType):
+                analyzed.append(name)
+            elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
+                analyzed.append(name)
+            elif isinstance(dt, StructType):
+                walk(dt.fields, f"{name}.", top=False)
+            elif top and isinstance(dt, BooleanType):
+                exact.append(name)
+                typed[name] = "bool"
+            elif top and isinstance(dt, NumericType):
+                exact.append(name)
+                typed[name] = "numeric"
+            elif top and isinstance(dt, (TimestampType, DateType)):
+                exact.append(name)
+                typed[name] = "timestamp"
+            # binary / map / non-string arrays / nested non-strings:
+            # stored, not indexed
+
+    walk(schema.fields, "", top=True)
+    if not analyzed:
+        raise ValueError(
+            "infer_fields found no string column to analyze "
+            f"(schema: {[f.name for f in schema.fields]})"
+        )
+    analyzed.sort(key=lambda f: (f != "text", f))
+    return {
+        "analyzed_fields": analyzed,
+        "exact_fields": exact,
+        "date_fields": {},
+        "typed_fields": typed,
+    }
+
+
 def _is_array_field(docs: DataFrame, f: str) -> bool:
     """True when the (possibly dotted struct-path) field resolves to
     array<string> — reference element-wise array indexing
@@ -814,6 +913,8 @@ class IndexBuilder:
         n_hot: int = 65536,
         n_buckets: int = 32,
         date_fields: dict[str, str | None] | None = None,
+        typed_fields: dict[str, str] | None = None,
+        infer: bool = False,
     ):
         """hot_dict_min_rows: corpora at or above this row count use
         the hot-term shuffle dictionary; None (default) disables it.
@@ -834,6 +935,15 @@ class IndexBuilder:
         # is indexed like an exact field, the doc store keeps the raw
         # string (reference index.go:556-574 semantics)
         self.date_fields = dict(date_fields or {})
+        # {field: numeric|bool|timestamp} — inferred non-string exact
+        # columns, cast to canonical term strings at index time
+        # (apply_typed_fields); normally populated by infer=True
+        self.typed_fields = dict(typed_fields or {})
+        # infer=True: resolve ALL field lists from the input
+        # DataFrame's schema at build() time (the reference's
+        # schemaless reflection dispatch, index.go:355-480) —
+        # explicit field arguments are ignored
+        self.infer = infer
         self.span = span
         self.hot_dict_min_rows = hot_dict_min_rows
         self.n_hot = n_hot
@@ -892,6 +1002,12 @@ class IndexBuilder:
         stage-N → rerun → identical index).  ``stop_after`` simulates
         a mid-build crash for the resume tests."""
         spark = docs.sparkSession
+        if self.infer:
+            inferred = infer_fields(docs.schema)
+            self.analyzed_fields = inferred["analyzed_fields"]
+            self.exact_fields = inferred["exact_fields"]
+            self.date_fields = inferred["date_fields"]
+            self.typed_fields = inferred["typed_fields"]
         os.makedirs(self.index_dir, exist_ok=True)
         if not resume:
             for st in self.STAGES:
@@ -907,6 +1023,7 @@ class IndexBuilder:
             "analyzed_fields": self.analyzed_fields,
             "exact_fields": self.exact_fields,
             "date_fields": self.date_fields,
+            "typed_fields": self.typed_fields,
             "span": self.span,
             "k1": K1,
             "b": B,
@@ -932,6 +1049,8 @@ class IndexBuilder:
             f"fields={self.analyzed_fields}+{self.exact_fields}"
             f"+{sorted(self.date_fields.items())};span={self.span}"
         )
+        if self.typed_fields:
+            fp += f";typed={sorted(self.typed_fields.items())}"
 
         def stop(stage: str) -> bool:
             return stop_after is not None and stage == stop_after
@@ -1083,10 +1202,14 @@ class IndexBuilder:
                 docs_in = docs_in.repartition(nparts)
             # date-format metadata: parse configured string date
             # fields to epoch-micros terms for INDEXING only (the doc
-            # store above kept the raw strings)
+            # store above kept the raw strings); inferred typed
+            # columns likewise cast to canonical term strings
             docs_in = apply_date_fields(docs_in, self.date_fields)
+            docs_in = apply_typed_fields(docs_in, self.typed_fields)
             exact_all = self.exact_fields + [
-                f for f in self.date_fields if f not in self.exact_fields
+                f
+                for f in list(self.date_fields) + list(self.typed_fields)
+                if f not in self.exact_fields
             ]
             # range boundaries for the bucketed block layout: one
             # cheap sampled job; persisted in the manifest so every

@@ -139,12 +139,56 @@ class writer_lock:
                     # link, where they find the winner's fresh lock) —
                     # a bare os.remove would let a second stealer delete
                     # the winner's just-created lock and double-acquire.
+                    #
+                    # Winning the rename is NOT yet proof we renamed
+                    # the stale lock we OBSERVED: between our read and
+                    # our rename, a concurrent stealer may have taken
+                    # the stale lock AND published its own fresh LIVE
+                    # lock at self.path — unconditionally removing the
+                    # renamed file would steal that live winner's lock
+                    # and let two writers proceed (check-then-rename
+                    # TOCTOU).  So re-verify AFTER the rename: only a
+                    # still-dead/unreadable holder is discarded; a
+                    # live one is restored with an atomic link.
+                    stale = f"{self.path}.stale.{os.getpid()}"
                     try:
-                        stale = f"{self.path}.stale.{os.getpid()}"
                         os.rename(self.path, stale)
-                        os.remove(stale)
                     except FileNotFoundError:
-                        pass
+                        continue  # another stealer won; loop to link
+                    renamed_pid = None
+                    renamed_alive = False
+                    try:
+                        with open(stale) as f:
+                            renamed_pid = int(json.load(f)["pid"])
+                        os.kill(renamed_pid, 0)
+                        renamed_alive = True
+                    except PermissionError:
+                        renamed_alive = True  # EPERM: pid exists
+                    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                        renamed_alive = False
+                    if not renamed_alive:
+                        os.remove(stale)
+                        continue
+                    # we displaced a LIVE lock (a concurrent stealer's
+                    # fresh acquisition) — restore it atomically and
+                    # retry, which re-raises via the live-holder path
+                    try:
+                        os.link(stale, self.path)
+                        os.remove(stale)
+                    except FileExistsError:
+                        # third acquirer published while the live lock
+                        # was displaced: the displaced holder and the
+                        # new one may BOTH be active — unrecoverable
+                        # from here, surface loudly instead of
+                        # silently joining as a third writer
+                        os.remove(stale)
+                        raise RuntimeError(
+                            f"writer-lock contention at {self.path}: "
+                            f"a live lock (pid {renamed_pid}) was "
+                            "displaced and a new lock appeared before "
+                            "it could be restored; verify the index "
+                            "and retry"
+                        )
                     continue
                 raise RuntimeError(
                     f"index is locked by a live writer (pid "
@@ -447,12 +491,15 @@ def _delete_docs_locked(
     # own content — O(d · terms/doc), no index probe.  Date-metadata
     # fields re-parse exactly like the build did so their epoch terms
     # match.
-    from .build import apply_date_fields
+    from .build import apply_date_fields, apply_typed_fields
 
     date_fields = p.get("date_fields") or {}
-    exact_all = exact_fields + [f for f in date_fields if f not in exact_fields]
+    typed_fields = p.get("typed_fields") or {}
+    exact_all = exact_fields + [
+        f for f in list(date_fields) + list(typed_fields) if f not in exact_fields
+    ]
     occ = _occurrence_stream(
-        apply_date_fields(deleted_docs, date_fields),
+        apply_typed_fields(apply_date_fields(deleted_docs, date_fields), typed_fields),
         analyzed_fields,
         exact_all,
         include_whole=True,

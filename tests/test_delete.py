@@ -270,3 +270,45 @@ def test_writer_lock_excludes_concurrent_and_steals_stale(spark, tmp_path):
     counters = delete_docs(spark, d, spark.createDataFrame([(1,)], "doc_id long"))
     assert counters["n_deleted"] == 1
     assert not os.path.exists(os.path.join(d, "write.lock"))
+
+
+def test_writer_lock_steal_restores_concurrently_published_live_lock(
+    tmp_path, monkeypatch
+):
+    """Check-then-rename TOCTOU (ADVICE r3): after we observe a dead
+    holder but BEFORE our steal-rename runs, a concurrent stealer
+    takes the stale lock and publishes its own fresh LIVE lock.  The
+    rename then displaces the live winner — the post-rename
+    verification must detect the live pid, restore the lock
+    atomically, and fail our acquisition instead of double-acquiring."""
+    import json as _json
+    import os
+
+    import neosearch_spark.maintenance as mt
+
+    d = str(tmp_path)
+    lock = os.path.join(d, "write.lock")
+    with open(lock, "w") as f:
+        _json.dump({"pid": 2_000_000_000, "ts": 0}, f)  # dead holder
+
+    real_rename = os.rename
+    state = {"raced": False}
+
+    def racy_rename(src, dst, **kw):
+        if src == lock and not state["raced"]:
+            state["raced"] = True
+            # concurrent stealer: takes the stale lock and publishes
+            # a live one (pid 1 is always alive) in the window
+            # between our dead-holder read and our rename
+            os.remove(lock)
+            with open(lock, "w") as f:
+                _json.dump({"pid": 1, "ts": 0}, f)
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr("os.rename", racy_rename)
+    with pytest.raises(RuntimeError, match="live writer \\(pid 1\\)"):
+        mt.writer_lock(d).__enter__()
+    # the live winner's lock survived our attempted steal, verbatim
+    with open(lock) as f:
+        assert _json.load(f)["pid"] == 1
+    assert not any(p.startswith("write.lock.") for p in os.listdir(d))

@@ -289,6 +289,35 @@ def test_jaccard_df_cap_excludes_hot_token(spark):
     assert uncapped[(1, 3)] == 1.0
 
 
+def test_jaccard_df_cap_engages_by_default(spark):
+    """max_token_df defaults to 10_000 (VERDICT r3 #5): a stop-word-
+    like token with df > 10_000 must not generate candidates under
+    DEFAULT arguments — the quadratic blow-up is opt-in (None), not
+    opt-out."""
+    from pyspark.sql import functions as F
+
+    from neosearch_spark.ops.dedup import jaccard_pairs
+
+    n = 10_050
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hot u"), F.col("id").cast("string")).alias("text"),
+    )
+    # planted rare pair: two extra docs sharing a rare token
+    extra = spark.createDataFrame(
+        [(n, "hot rare x1"), (n + 1, "hot rare x2")], "doc_id long, text string"
+    )
+    docs = docs.unionByName(extra)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    # 'hot' (df = 10_052 > default cap) generated nothing; the rare
+    # token still pairs the planted docs, scored with 'hot' included
+    # (intersection {hot, rare} of 3-token sets → J = 2/4 = 0.5)
+    assert pairs == {(n, n + 1)}
+
+
 def test_ivf_large_quantizer_numpy_path(spark):
     """64-centroid × 256-dim quantizer: assignment must route through
     the mapInPandas matmul (no 64-struct ``greatest`` expression —

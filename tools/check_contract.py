@@ -5,7 +5,10 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 column names/types, and an order-insensitive value multiset.
 Queries without oracle SQL get a rows-only check (like the driver).
 
-Usage: python3 tools/check_contract.py [names...]
+Also checks ``extra_queries()``/``extra_oracle_sql()`` — the twin
+gates kept out of the driver registry to respect its 50-row cap.
+
+Usage: python3 tools/check_contract.py [--no-extras] [names...]
 """
 
 from __future__ import annotations
@@ -43,7 +46,9 @@ def rows_key(cols, rows):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--no-extras"]
+    with_extras = "--no-extras" not in sys.argv[1:]
+    only = set(argv)
     spark = get_spark("contract_check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +58,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if with_extras:
+        qs = {**qs, **entrymod.extra_queries()}
+        oracles = {**oracles, **entrymod.extra_oracle_sql()}
     unknown = only - set(qs)
     if unknown:
         # a typo'd name must not yield a false-green "all checks
