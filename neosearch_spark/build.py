@@ -201,6 +201,31 @@ def apply_date_fields(docs: DataFrame, date_fields: dict | None) -> DataFrame:
     return docs
 
 
+def check_doc_id_bounds(docs: DataFrame, docs_span: int) -> tuple[int, int]:
+    """Doc-id bounds guard shared by build, upsert, and the streaming
+    delta sink (ADVICE r3): a negative or sparse-hash doc_id would
+    otherwise silently overflow the packed int64 sort key and the int
+    doc_part/span partition keys into corrupted postings.  One
+    column-pruned agg; returns (min, max)."""
+    idr = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    min_doc_id = int(idr["lo"]) if idr["lo"] is not None else 0
+    max_doc_id = int(idr["hi"]) if idr["hi"] is not None else 0
+    if min_doc_id < 0:
+        raise ValueError(
+            f"negative doc_id {min_doc_id}: doc_ids must be "
+            "non-negative (use assign_doc_ids)"
+        )
+    if max_doc_id // docs_span > (1 << 31) - 1:
+        raise ValueError(
+            f"doc_id {max_doc_id} overflows the int doc_part key "
+            f"at docs_span={docs_span}: ids must be dense-ish "
+            "(use assign_doc_ids), not sparse hashes"
+        )
+    return min_doc_id, max_doc_id
+
+
 def apply_typed_fields(docs: DataFrame, typed_fields: dict | None) -> DataFrame:
     """Inferred non-string exact columns cast to their canonical term
     strings for INDEXING (the doc store keeps the original typed
@@ -1169,22 +1194,7 @@ class IndexBuilder:
         # doc_part partition key — caller-supplied ids outside these
         # bounds would otherwise overflow SILENTLY into corrupted
         # postings/partitions
-        idr = docs_t.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        min_doc_id = int(idr["lo"]) if idr["lo"] is not None else 0
-        max_doc_id = int(idr["hi"]) if idr["hi"] is not None else 0
-        if min_doc_id < 0:
-            raise ValueError(
-                f"negative doc_id {min_doc_id}: doc_ids must be "
-                "non-negative (use assign_doc_ids)"
-            )
-        if max_doc_id // docs_span > (1 << 31) - 1:
-            raise ValueError(
-                f"doc_id {max_doc_id} overflows the int doc_part key "
-                f"at docs_span={docs_span}: ids must be dense-ish "
-                "(use assign_doc_ids), not sparse hashes"
-            )
+        _, max_doc_id = check_doc_id_bounds(docs_t, docs_span)
 
         # stage: blocks (span-aligned, delta+varint, block-max meta).
         # ONE shuffle: the raw occurrence stream range-partitions by

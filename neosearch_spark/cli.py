@@ -213,6 +213,68 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def serve_loop(idx, lines, out, default_k: int = 10) -> int:
+    """Long-lived serving loop against ONE warm ``SparkIndex`` — the
+    executable twin of the reference's HTTP search service
+    (``service/neosearch/server/server.go:54``,
+    ``service/neosearch/index/search.go:26-134``), minus the HTTP
+    framing: requests arrive one per line on ``lines`` (a JSON object
+    ``{"queries": [...], "k": N}`` or bare query text), one JSON
+    response line per request goes to ``out``.
+
+    Warm-process economics: the index handle's per-term metadata memo
+    (``SparkIndex._term_meta``) means repeat terms skip the
+    terms-table probe, and multi-query requests batch through
+    ``bm25_topk_batch`` (ONE Spark job per request).  Returns the
+    number of requests served."""
+    served = 0
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line) if line.startswith("{") else {"queries": [line]}
+            queries = req["queries"]
+            k = int(req.get("k", default_k))
+            if len(queries) == 1:
+                rows = [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in idx.bm25_topk(queries[0], k=k).collect()
+                ]
+                resp = {"batch": [{"query": queries[0], "results": rows}]}
+            else:
+                rows = idx.bm25_topk_batch(queries, k=k).collect()
+                resp = {
+                    "batch": [
+                        {
+                            "query": queries[qi],
+                            "results": [
+                                {"doc_id": r["doc_id"], "score": r["score"]}
+                                for r in rows
+                                if r["query_id"] == qi
+                            ],
+                        }
+                        for qi in range(len(queries))
+                    ]
+                }
+        except Exception as e:  # noqa: BLE001 — a bad request must
+            # not kill the serving process
+            resp = {"error": str(e)}
+        print(json.dumps(resp), file=out, flush=True)
+        served += 1
+    return served
+
+
+def cmd_serve(args) -> int:
+    from .query import SparkIndex
+
+    spark = _spark(args)
+    idx = SparkIndex(spark, args.index, cache=args.cache)
+    served = serve_loop(idx, sys.stdin, sys.stdout, default_k=args.k)
+    print(json.dumps({"status": "served", "requests": served}), file=sys.stderr)
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .docids import assign_doc_ids
     from .synth import synth_transcripts
@@ -277,6 +339,17 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold streamed deltas into the block index")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    sv = sub.add_parser(
+        "serve",
+        help="long-lived serving loop: JSON requests on stdin, one "
+        "warm index, one JSON response line per request",
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--cache", action="store_true",
+                    help="pin blocks/terms in executor memory")
+    sv.set_defaults(fn=cmd_serve)
 
     y = sub.add_parser("synth", help="generate deterministic transcripts")
     y.add_argument("--out", required=True)

@@ -811,6 +811,8 @@ def _upsert_docs_locked(
         _occurrence_stream,
         _tf_stream,
         apply_date_fields,
+        apply_typed_fields,
+        check_doc_id_bounds,
         doc_len_col,
         term_bucket_expr,
     )
@@ -830,12 +832,18 @@ def _upsert_docs_locked(
     analyzed_fields = list(p["analyzed_fields"])
     exact_fields = list(p["exact_fields"])
     date_fields = p.get("date_fields") or {}
-    exact_all = exact_fields + [f for f in date_fields if f not in exact_fields]
+    typed_fields = p.get("typed_fields") or {}
+    exact_all = exact_fields + [
+        f for f in list(date_fields) + list(typed_fields) if f not in exact_fields
+    ]
 
     new_docs = new_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
     batch = new_docs.withColumn(
         "dl", doc_len_col(F.col(analyzed_fields[0]))
     ).persist()
+    # same bounds guards as IndexBuilder.build (ADVICE r3): an upsert
+    # batch must fail as loudly as a build would
+    check_doc_id_bounds(batch, docs_span)
     ids = batch.select("doc_id").distinct()
 
     docs = read_docs(spark, index_dir)
@@ -855,13 +863,15 @@ def _upsert_docs_locked(
     # content (both through the build's own analyzer, so terms match
     # the persisted postings exactly)
     old_occ = _occurrence_stream(
-        apply_date_fields(replaced_docs, date_fields),
+        apply_typed_fields(apply_date_fields(replaced_docs, date_fields), typed_fields),
         analyzed_fields,
         exact_all,
         include_whole=True,
     )
     new_tf = _tf_stream(
-        apply_date_fields(batch, date_fields), analyzed_fields, exact_all
+        apply_typed_fields(apply_date_fields(batch, date_fields), typed_fields),
+        analyzed_fields,
+        exact_all,
     ).withColumn("span_id", F.expr(f"doc_id div {span}"))
     affected = (
         old_occ.select(

@@ -495,6 +495,14 @@ class SparkIndex:
     # at 10^5+) — switch to a broadcast-joined span DataFrame
     ISIN_MAX_SPANS = 1024
 
+    # exhaustive (non-pruned) scoring yields ≤k candidate rows per
+    # span; above this many blocks the driver-side merge could see
+    # ~k × #spans rows (76 M at 10^12 docs / span 131072, k=10) —
+    # switch to a distributed TakeOrdered (orderBy+limit collects
+    # exactly k rows, same (score desc, doc_id asc) order; doc_ids
+    # are unique across spans so the selection is deterministic)
+    EXHAUSTIVE_COLLECT_MAX_BLOCKS = 4096
+
     _PAYLOAD_COLS = [
         "term", "span_id", "first_doc", "n_docs", "max_tf_norm",
         "enc_avgdl", "docs_enc", "tfs_enc", "dls_enc",
@@ -683,6 +691,25 @@ class SparkIndex:
                 [(int(r["doc_id"]), float(r["score"])) for r in rows]
             )
 
+        def merge_exhaustive() -> DataFrame:
+            # full scoring of every span (pruning off / boot under-
+            # filled).  Small queries collect the ≤k-per-span
+            # candidates and merge driver-side; past
+            # EXHAUSTIVE_COLLECT_MAX_BLOCKS the merge itself goes
+            # distributed (TakeOrdered) so the driver receives
+            # exactly k rows at ANY corpus size
+            cand = self._score_spans(blocks_q, qterms, idf, k)
+            if total_blocks > self.EXHAUSTIVE_COLLECT_MAX_BLOCKS:
+                rows = (
+                    cand.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
+                return self._topk_df(
+                    [(int(r["doc_id"]), float(r["score"])) for r in rows]
+                )
+            return merge_topk(cand.collect())
+
         wts = {u: idf[u] * qterms.count(u) for u in uniq}
         n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
 
@@ -720,7 +747,7 @@ class SparkIndex:
                     else []
                 )
                 return merge_topk(list(boot_rows) + list(rest_rows))
-            return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
+            return merge_exhaustive()
 
         if prune:  # meta overflowed the cap: distributed bound agg.
             # Per-span upper bound = Σ_blocks wt(term)·max_tf_norm·
@@ -762,9 +789,9 @@ class SparkIndex:
                     blocks_q.join(survivors_df, "span_id"), qterms, idf, k
                 ).collect()
                 return merge_topk(list(boot_rows) + list(rest_rows))
-            return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
+            return merge_exhaustive()
 
-        return merge_topk(self._score_spans(blocks_q, qterms, idf, k).collect())
+        return merge_exhaustive()
 
     def _score_spans_batch(
         self,

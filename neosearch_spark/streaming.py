@@ -77,6 +77,22 @@ def delta_sink(
     posting's tf at the next compaction), and a crash between the two
     writes heals on replay because both directories are rewritten
     whole."""
+    import json as _json
+
+    from .build import check_doc_id_bounds
+
+    # same doc_id bounds guards as IndexBuilder.build (ADVICE r3): a
+    # negative or sparse-hash id must fail loudly HERE, not overflow
+    # span/doc_part keys silently at compaction.  Without a manifest
+    # (delta dir created before any build) only negativity is
+    # checkable — the huge pseudo-span disarms the partition-key test.
+    docs_span = None
+    mp = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            docs_span = _json.load(f).get("params", {}).get("docs_span")
+    check_doc_id_bounds(batch, int(docs_span) if docs_span else 1 << 32)
+
     tf = _tf_stream(batch, analyzed_fields, [])
     tf.write.mode("overwrite").parquet(
         os.path.join(index_dir, "tf_delta", f"epoch={int(epoch_id)}")
@@ -278,13 +294,23 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     seconds; each micro-batch's events either extend it or close it
     (gap > gap_sec) and open a new one.  CLOSED sessions emit
     (append semantics); the open tail stays in state across
-    micro-batches.  Equivalence contract (tested): the emitted
-    sessions are exactly batch lag-gap sessionization's sessions
-    minus each user's final (still-open) one.
+    micro-batches.  Equivalence contract (tested): for in-order
+    batches the emitted sessions are exactly batch lag-gap
+    sessionization's sessions minus each user's final (still-open)
+    one.
 
-    Per batch+user the event vector is split vectorized (one diff +
-    nonzero); only the per-SESSION emit loop is Python — bounded by
-    the number of closed sessions in the batch."""
+    Out-of-order input (ADVICE r3): a LATE event still inside the
+    open session's reach (ts ≥ open_start − gap) merges into it and
+    can extend session_start DOWNWARD (min-tracked); events older
+    than that reach would belong to sessions possibly already
+    emitted — append mode cannot retract, so they are DROPPED (the
+    streaming analog of a watermark; pair the source with a real
+    watermark to bound how late data can arrive).
+
+    Per batch+user the event vector is split vectorized (diff +
+    nonzero, and the open-session joinable prefix by one vectorized
+    running-gap scan); only the per-SESSION emit loop is Python —
+    bounded by the number of closed sessions in the batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -296,18 +322,40 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             return
         rows = pd.concat(parts, ignore_index=True).sort_values("ts")
         t = rows["ts"].astype("int64").to_numpy() // 1_000_000_000
-        new = np.ones(len(t), dtype=bool)
-        new[1:] = (t[1:] - t[:-1]) > gap_sec
-        starts = np.nonzero(new)[0]
-        ends = np.append(starts[1:], len(t))
-        segs = [(int(t[s]), int(t[e - 1]), int(e - s)) for s, e in zip(starts, ends)]
+        merged = None
         if state.exists:
-            ps, pe, pn = state.get
-            if t[0] - pe <= gap_sec:  # first segment continues the open session
-                s0, e0, n0 = segs[0]
-                segs[0] = (int(ps), e0, pn + n0)
+            ps, pe, pn = (int(x) for x in state.get)
+            # older than the open session's reach → possibly before
+            # already-emitted sessions → drop (no retraction in
+            # append mode)
+            t = t[t >= ps - gap_sec]
+            if len(t) == 0:
+                return
+            # joinable prefix: event j joins when its gap to the
+            # session end SO FAR (which grows with each joined event)
+            # is ≤ gap_sec.  t is sorted, so end-so-far before event
+            # j is max(pe, t[j-1]) — vectorizable; and once one event
+            # fails to join, no later (larger) one can.
+            prev_end = np.maximum(pe, np.concatenate(([pe], t[:-1])))
+            nojoin = (t - prev_end) > gap_sec
+            j = int(np.argmax(nojoin)) if nojoin.any() else len(t)
+            if j > 0:
+                # late events may precede the stored start: min-track
+                merged = (min(ps, int(t[0])), max(pe, int(t[j - 1])), pn + j)
             else:
-                segs.insert(0, (int(ps), int(pe), int(pn)))
+                merged = (ps, pe, pn)
+            t = t[j:]
+        segs = []
+        if len(t):
+            new = np.ones(len(t), dtype=bool)
+            new[1:] = (t[1:] - t[:-1]) > gap_sec
+            starts = np.nonzero(new)[0]
+            ends = np.append(starts[1:], len(t))
+            segs = [
+                (int(t[s]), int(t[e - 1]), int(e - s)) for s, e in zip(starts, ends)
+            ]
+        if merged is not None:
+            segs.insert(0, merged)
         *closed, open_tail = segs
         state.update(open_tail)
         if closed:

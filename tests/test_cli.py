@@ -97,6 +97,61 @@ def test_query_dsl_not_xor(spark, idx_dir, capsys):
     assert {r["doc_id"] for r in out["results"]} == a ^ (b | c)
 
 
+def test_serve_loop_three_batches_one_warm_index(spark, idx_dir):
+    """serve: three requests through ONE process/index handle (the
+    reference HTTP service's executable twin).  The second request
+    repeats the first's terms — the per-term metadata memo must
+    answer it with ZERO terms-table probes (warm-serving contract);
+    a multi-query request batches through bm25_topk_batch."""
+    import io
+
+    from neosearch_spark.cli import serve_loop
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+    probed_terms = []
+    orig = type(idx)._term_meta
+
+    def spy(self, qterms, field="text"):
+        missing = [t for t in qterms if (field, t) not in self._meta_cache]
+        probed_terms.append(missing)
+        return orig(self, qterms, field)
+
+    out = io.StringIO()
+    try:
+        type(idx)._term_meta = spy
+        served = serve_loop(
+            idx,
+            [
+                "tok1 tok3",                                    # cold
+                "tok1 tok3",                                    # warm: memo hit
+                json.dumps({"queries": ["tok1", "tok2 tok3"], "k": 5}),
+            ],
+            out,
+        )
+    finally:
+        type(idx)._term_meta = orig
+
+    assert served == 3
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(lines) == 3
+    # identical results for the repeated query
+    assert lines[0] == lines[1]
+    assert lines[0]["batch"][0]["results"]
+    # request 2 probed NOTHING (both terms memoized by request 1)
+    flat = probed_terms[1] if len(probed_terms) > 1 else ["never-called"]
+    assert flat == []
+    # the multi-query request returns per-query results with k=5
+    batch = lines[2]["batch"]
+    assert [b["query"] for b in batch] == ["tok1", "tok2 tok3"]
+    assert all(len(b["results"]) <= 5 for b in batch)
+    # a malformed request must not kill the loop
+    out2 = io.StringIO()
+    assert serve_loop(idx, ['{"queries": }', "tok1"], out2) == 2
+    resp = [json.loads(l) for l in out2.getvalue().splitlines()]
+    assert "error" in resp[0] and "batch" in resp[1]
+
+
 def test_delete_subcommand(spark, tmp_path, capsys):
     d = str(tmp_path / "cli_del_idx")
     docs = assign_doc_ids(synth_transcripts(spark, 120, seed=9))

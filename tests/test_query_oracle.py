@@ -89,6 +89,36 @@ def test_local_path_identical_to_distributed(corpus, q):
     assert local == dist, q
 
 
+def test_exhaustive_merge_distributed_and_bounded(corpus, monkeypatch):
+    """With pruning off and many spans, the exhaustive fallback must
+    NOT collect ~k-per-span candidates to the driver (76 M rows at
+    10^12 docs): past EXHAUSTIVE_COLLECT_MAX_BLOCKS it runs a
+    distributed TakeOrdered and the driver receives EXACTLY ≤k rows —
+    rank-identical to the driver-side merge."""
+    si, oi, _ = corpus
+    q, k = "tok1 tok3", 10
+    want = oi.bm25_topk(q, k)
+
+    collected_sizes = []
+    orig_topk_df = type(si)._topk_df
+
+    def spy_topk_df(self, rows):
+        collected_sizes.append(len(rows))
+        return orig_topk_df(self, rows)
+
+    monkeypatch.setattr(type(si), "_topk_df", spy_topk_df)
+    monkeypatch.setattr(type(si), "EXHAUSTIVE_COLLECT_MAX_BLOCKS", 0)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=False, mode="distributed").collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+    # the driver-side materialization saw only the final k rows
+    assert collected_sizes and all(n <= k for n in collected_sizes)
+
+
 def test_meta_cap_fallback_identical(corpus, monkeypatch):
     """Astronomically-hot queries exceed META_COLLECT_CAP and fall
     back to terms-table stats — results must be identical."""

@@ -211,6 +211,67 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionize_out_of_order(spark, tmp_path):
+    """Out-of-order micro-batches (ADVICE r3): a late event inside
+    the open session's reach merges AND extends session_start
+    downward (min-tracked); an event older than the reach is dropped
+    (append mode cannot retract already-emitted sessions)."""
+    import time as _time
+
+    from neosearch_spark.streaming import sessionize_stream
+
+    def ts(minute):
+        return f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+
+    # batch 1 opens session [60, 65]; batch 2 arrives out of order:
+    # minute 40 is late but within reach (60 - 30 = 30) → merges and
+    # pulls the start down to 40; minute 0 is beyond the reach →
+    # dropped; minute 300 closes the merged session and stays open
+    f1 = [(1, 1, ts(60)), (2, 1, ts(65))]
+    f2 = [(3, 1, ts(40)), (4, 1, ts(0)), (5, 1, ts(300))]
+    src = str(tmp_path / "sess_ooo_src")
+    schema = "event_id long, user_id long, ts_s string"
+    spark.createDataFrame(f1, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(f2, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessooo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessooo").collect()
+    }
+
+    def epoch(minute):
+        import datetime
+
+        return int(
+            datetime.datetime(
+                2024, 1, 1, minute // 60, minute % 60, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        )
+
+    # merged session [40, 65] with 3 events (late 40 joined; ancient
+    # 0 dropped); [300] stays open and unemitted
+    assert got == {(1, epoch(40), epoch(65), 3)}
+
+
 def test_delta_sink_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying an epoch must not
     double postings (each epoch overwrites its own epoch= directory),

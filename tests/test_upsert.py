@@ -473,3 +473,30 @@ def test_build_rejects_pathological_doc_ids(spark, tmp_path):
         Exception, match="CAST_OVERFLOW|overflows the int doc_part"
     ):
         IndexBuilder(d, span=32).build(sparse)
+
+
+def test_upsert_and_delta_reject_pathological_doc_ids(spark, tmp_path):
+    """The maintenance entry points enforce the SAME doc_id bounds as
+    the build (ADVICE r3): a negative or sparse-hash id in an upsert
+    batch or a streamed delta fails loudly instead of deriving
+    negative/overflowing span and doc_part partition keys."""
+    from neosearch_spark.maintenance import upsert_docs
+    from neosearch_spark.streaming import delta_sink
+
+    docs = assign_doc_ids(synth_transcripts(spark, 60, seed=9))
+    d = str(tmp_path / "bounds_idx")
+    IndexBuilder(d, span=32).build(docs)
+
+    neg = spark.createDataFrame([(-5, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="negative doc_id"):
+        upsert_docs(spark, d, neg)
+    with pytest.raises(ValueError, match="negative doc_id"):
+        delta_sink(neg, 0, d, ["text"])
+
+    sparse = spark.createDataFrame(
+        [((1 << 62), "c d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="overflows the int doc_part"):
+        upsert_docs(spark, d, sparse)
+    with pytest.raises(ValueError, match="overflows the int doc_part"):
+        delta_sink(sparse, 0, d, ["text"])
