@@ -74,7 +74,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # reporting field only — never abort the bench on it
 
-    qs = entrymod.queries()
+    # extra_queries() holds the twin gates moved out of the driver's
+    # 50-row registry cap (r4); the headline series keeps its
+    # round-over-round names from both dicts
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     timings: dict[str, float] = {}
 
     # warm the JVM/Arrow paths and codegen for every plan shape at the

@@ -532,11 +532,15 @@ def arrow_carry_encoder(
     lighter on memory bandwidth (the scaling-critical resource on a
     shared box) than the pandas encoder.
 
-    Input batches: (fid int8, term string, packed int64, part_id int)
-    sorted by (fid, term, packed) within the partition, where
+    Input batches: (fid int8, term string, packed int64) sorted by
+    (fid, term, packed) within the partition, where
     ``packed = doc_id << dl_bits | dl`` (monotonic in doc_id, so the
     sort order is the doc order); with dl_bits=None, unpacked
-    (..., doc_id, dl, ...) columns instead."""
+    (..., doc_id, dl, ...) columns instead.  The lineage ``part_id``
+    is read from ``TaskContext`` (mapInArrow runs in the same stage
+    as the post-shuffle sort, so the task partition id IS
+    ``spark_partition_id()`` of the arranged stream) — one less
+    column over the JVM↔Python boundary."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -555,11 +559,10 @@ def arrow_carry_encoder(
             _single_chunk(tbl, "dl").to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    def encode_tbl(tbl, fields_arr, span_, avgdl_):
+    def encode_tbl(tbl, fields_arr, span_, avgdl_, pid):
         n = tbl.num_rows
         fid = _single_chunk(tbl, "fid").to_numpy(zero_copy_only=False).astype(np.int64)
         doc, dl = doc_dl(tbl)
-        part = _single_chunk(tbl, "part_id").to_numpy(zero_copy_only=False)
         terms = _single_chunk(tbl, "term")
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
@@ -627,10 +630,7 @@ def arrow_carry_encoder(
                 type=pa.float64(),
             ),
             pa.array(np.full(g, avgdl_, dtype=np.float64), type=pa.float64()),
-            pa.array(
-                np.full(g, part[0] if len(part) else -1, dtype=np.int32),
-                type=pa.int32(),
-            ),
+            pa.array(np.full(g, pid, dtype=np.int32), type=pa.int32()),
         ]
         names = [
             "field", "term", "span_id", "first_doc", "n_docs",
@@ -642,7 +642,10 @@ def arrow_carry_encoder(
     def encode(it):
         import pyarrow as pa
         import pyarrow.compute as pc
+        from pyspark import TaskContext
 
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
         fields_arr = pa.array(fields_list, type=pa.string())
         carry = None
         for batch in it:
@@ -675,19 +678,163 @@ def arrow_carry_encoder(
                 carry = tbl  # whole batch is one group; keep carrying
                 continue
             carry = tbl.slice(tail_start)
-            yield encode_tbl(tbl.slice(0, tail_start), fields_arr, span, avgdl)
+            yield encode_tbl(
+                tbl.slice(0, tail_start), fields_arr, span, avgdl, pid
+            )
         if carry is not None and carry.num_rows:
-            yield encode_tbl(carry, fields_arr, span, avgdl)
+            yield encode_tbl(carry, fields_arr, span, avgdl, pid)
+
+    return encode
+
+
+def arrow_grouped_encoder(
+    avgdl: float, span: int, fields: list[str], dl_bits: int
+):
+    """mapInArrow block encoder over PRE-GROUPED rows — the
+    boundary-minimal A/B'd alternative (``encoder="grouped"``).
+
+    NOT the default: byte-identical to the carry path and it does
+    move ~2.5× fewer bytes across the Arrow boundary, but the
+    measured whole-build cost of the ``collect_list`` aggregation
+    exceeds the boundary saving at low core counts (~1.7× slower at
+    2 cores, break-even at 8 on this box) — the JVM sort it removes
+    was never the bottleneck.  Kept (like the hot-term dictionary)
+    as a measured alternative: on a real cluster where the shuffle
+    crosses a NETWORK, map-side partial collect_list shrinking the
+    wire bytes ~2.5× is a different trade than on a single
+    shared-memory box.
+
+    Input batches: one row per (field, term, span) group —
+    (fid int8, term string, span_id int64, packed array<int64>) from
+    ``groupBy(fid, term, span_id).agg(collect_list(packed))``, where
+    ``packed = doc_id << dl_bits | dl``.  Versus the per-occurrence
+    encoder (``arrow_carry_encoder``) this moves ~2.5× fewer bytes
+    across the JVM↔Python Arrow boundary (the measured 0.62-scaling
+    leg on the shared-memory-bandwidth sandbox, BENCH/BASELINE.md):
+    the term string and field code cross ONCE PER GROUP instead of
+    once per occurrence, and Spark's partial aggregation shrinks the
+    shuffle the same way map-side.  The JVM sort disappears too —
+    ``collect_list`` gives no order, so each group's flattened values
+    are sorted HERE with one vectorized ``np.lexsort`` per batch
+    (packed is monotonic in doc_id, so value order IS doc order and
+    the result is independent of shuffle arrival order).
+
+    Output blocks are byte-identical to the other encoders (tested).
+    No carry logic: every input row is a complete group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fields_list = list(fields)
+    mask = (1 << dl_bits) - 1
+
+    def encode(it):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        fields_arr = pa.array(fields_list, type=pa.string())
+        for batch in it:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            g = tbl.num_rows
+            if g == 0:
+                continue
+            fid = _single_chunk(tbl, "fid").to_numpy(zero_copy_only=False).astype(np.int64)
+            terms = _single_chunk(tbl, "term")
+            spn = _single_chunk(tbl, "span_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            plist = _single_chunk(tbl, "packed")
+            offs = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]  # slice-safe: offsets may not start at 0
+            vals = plist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(vals)
+            sizes = np.diff(offs)
+            gidx = np.repeat(np.arange(g, dtype=np.int64), sizes)
+            # sort within each group only (segments stay in place):
+            # primary key gidx is already segment-contiguous, so
+            # lexsort permutes values inside their own group
+            order = np.lexsort((vals, gidx))
+            vals = vals[order]
+            doc = vals >> dl_bits
+            dl_v = vals & mask
+
+            # posting boundaries: group change or doc change; run
+            # lengths are the tf (duplicate (term, doc) occurrences)
+            pchange = np.ones(n, dtype=bool)
+            pchange[1:] = (gidx[1:] != gidx[:-1]) | (doc[1:] != doc[:-1])
+            ps = np.nonzero(pchange)[0]
+            tf = np.diff(np.append(ps, n)).astype(np.int64)
+            doc_p = doc[ps]
+            dl_p = dl_v[ps]
+            # each group's first flattened row is always a posting
+            # start, so group starts in posting space are exact
+            # searchsorted hits of the (unchanged) list offsets
+            gs_p = np.searchsorted(ps, offs[:-1])
+            ge_p = np.append(gs_p[1:], len(ps))
+
+            deltas = np.empty(len(doc_p), dtype=np.uint64)
+            if len(doc_p):
+                deltas[0] = doc_p[0]
+                np.subtract(
+                    doc_p[1:], doc_p[:-1], out=deltas[1:], casting="unsafe"
+                )
+                deltas[gs_p] = doc_p[gs_p]
+
+            docs_buf, docs_len = codec.varint_encode_with_lengths(deltas)
+            tfs_buf, tfs_len = codec.varint_encode_with_lengths(tf.astype(np.uint64))
+            dls_buf, dls_len = codec.varint_encode_with_lengths(dl_p.astype(np.uint64))
+
+            def offsets(lengths: np.ndarray) -> np.ndarray:
+                boff = np.concatenate(([0], np.cumsum(lengths)))
+                return boff[np.append(gs_p, len(ps))]
+
+            tf_norm = (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl_p / avgdl)
+            )
+            arrays = [
+                pc.take(fields_arr, pa.array(fid, type=pa.int64())),
+                terms,
+                pa.array(spn, type=pa.int64()),
+                pa.array(doc_p[gs_p], type=pa.int64()),
+                pa.array((ge_p - gs_p).astype(np.int32), type=pa.int32()),
+                _arrow_binary(offsets(docs_len), docs_buf),
+                _arrow_binary(offsets(tfs_len), tfs_buf),
+                _arrow_binary(offsets(dls_len), dls_buf),
+                pa.array(
+                    np.maximum.reduceat(tf, gs_p).astype(np.float64)
+                    if len(gs_p)
+                    else np.empty(0, np.float64),
+                    type=pa.float64(),
+                ),
+                pa.array(
+                    np.maximum.reduceat(tf_norm, gs_p)
+                    if len(gs_p)
+                    else np.empty(0, np.float64),
+                    type=pa.float64(),
+                ),
+                pa.array(np.full(g, avgdl, dtype=np.float64), type=pa.float64()),
+                pa.array(np.full(g, pid, dtype=np.int32), type=pa.int32()),
+            ]
+            names = [
+                "field", "term", "span_id", "first_doc", "n_docs",
+                "docs_enc", "tfs_enc", "dls_enc", "max_tf", "max_tf_norm",
+                "enc_avgdl", "part_id",
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return encode
 
 
 def arrow_singleton_encoder(avgdl: float, span: int):
     """Arrow-native whole-string singleton-block encoder (whole-string
-    terms): one block per input row, zero per-row Python objects."""
+    terms): one block per input row, zero per-row Python objects.
+    Lineage ``part_id`` comes from ``TaskContext`` (same stage as the
+    input scan), not an input column."""
     import pyarrow as pa
 
     def encode(it):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
         for batch in it:
             n = batch.num_rows
             if n == 0:
@@ -695,7 +842,6 @@ def arrow_singleton_encoder(avgdl: float, span: int):
             tbl = pa.Table.from_batches([batch]).combine_chunks()
             doc = _single_chunk(tbl, "doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
             dl = _single_chunk(tbl, "dl").to_numpy(zero_copy_only=False).astype(np.int64)
-            part = _single_chunk(tbl, "part_id").to_numpy(zero_copy_only=False)
             docs_buf, docs_len = codec.varint_encode_with_lengths(doc.astype(np.uint64))
             dls_buf, dls_len = codec.varint_encode_with_lengths(dl.astype(np.uint64))
             tf_norm = (K1 + 1.0) / (1.0 + K1 * (1.0 - B + B * dl / avgdl))
@@ -712,12 +858,7 @@ def arrow_singleton_encoder(avgdl: float, span: int):
                 pa.array(np.ones(n, dtype=np.float64), type=pa.float64()),
                 pa.array(tf_norm, type=pa.float64()),
                 pa.array(np.full(n, avgdl, dtype=np.float64), type=pa.float64()),
-                pa.array(
-                    np.asarray(part, dtype=np.int32)
-                    if len(part)
-                    else np.full(n, -1, np.int32),
-                    type=pa.int32(),
-                ),
+                pa.array(np.full(n, pid, dtype=np.int32), type=pa.int32()),
             ]
             names = [
                 "field", "term", "span_id", "first_doc", "n_docs",
@@ -940,6 +1081,7 @@ class IndexBuilder:
         date_fields: dict[str, str | None] | None = None,
         typed_fields: dict[str, str] | None = None,
         infer: bool = False,
+        encoder: str = "carry",
     ):
         """hot_dict_min_rows: corpora at or above this row count use
         the hot-term shuffle dictionary; None (default) disables it.
@@ -969,6 +1111,17 @@ class IndexBuilder:
         # schemaless reflection dispatch, index.go:355-480) —
         # explicit field arguments are ignored
         self.infer = infer
+        # "carry" (default): per-occurrence repartition+sort Arrow
+        # encoder.  "grouped": collect_list-pre-grouped alternative —
+        # term strings cross the shuffle and the JVM↔Python boundary
+        # once per (field, term, span) group with map-side partial
+        # aggregation (~2.5× fewer boundary bytes), but the
+        # aggregation itself costs more than the saving on this
+        # shared-memory box (1.7× slower at 2 cores, break-even at
+        # 8) — kept A/B'd for network-shuffle clusters where wire
+        # bytes dominate.  Neither affects index CONTENT (tested
+        # byte-identical).
+        self.encoder = encoder
         self.span = span
         self.hot_dict_min_rows = hot_dict_min_rows
         self.n_hot = n_hot
@@ -1273,6 +1426,7 @@ class IndexBuilder:
             # pipelined Arrow/Python encode behind the shuffle
             # (measured ~2x on the encode step vs 1x parallelism at
             # 33M rows).
+            blocks_conf: dict[str, str] = {}
             if vocab:
                 hot_df = spark.createDataFrame(
                     [(t, i) for i, t in enumerate(vocab)],
@@ -1330,40 +1484,85 @@ class IndexBuilder:
                     and max_doc_id < (1 << (63 - DL_BITS))
                     else None
                 )
-                if dl_bits is not None:
-                    stream = occ.select(
-                        "fid",
-                        "term",
-                        (
-                            F.col("doc_id") * F.lit(1 << dl_bits) + F.col("dl")
-                        ).alias("packed"),
+                if dl_bits is not None and self.encoder == "grouped":
+                    # grouped (opt-in): ONE groupBy shuffle whose
+                    # map-side partial collect_list already merges a
+                    # task's occurrences per (fid, term, span) — the
+                    # term string crosses the wire and later the
+                    # Arrow boundary once per GROUP, not per
+                    # occurrence (~2.5× fewer boundary bytes), and no
+                    # JVM sort: the encoder lexsorts each group's
+                    # packed values (value order = doc order).  See
+                    # __init__ for why carry stays the default on
+                    # this box.  Shuffle-partition
+                    # override below mirrors the carry path's 4×
+                    # overpartition (pipelined encode); AQE partition
+                    # coalescing is suspended for this one action so
+                    # the post-shuffle encode keeps full parallelism
+                    # (the default 64 MB advisory size would coalesce
+                    # the ~50× compressed aggregate output to a
+                    # handful of tasks).
+                    grouped = (
+                        occ.select(
+                            "fid",
+                            "term",
+                            (
+                                F.col("doc_id") * F.lit(1 << dl_bits)
+                                + F.col("dl")
+                            ).alias("packed"),
+                        )
+                        # integer div: double division loses integer
+                        # precision past 2^53 (same note as the carry
+                        # path's exchange key)
+                        .withColumn(
+                            "span_id",
+                            F.expr(f"packed div {span * (1 << dl_bits)}"),
+                        )
+                        .groupBy("fid", "term", "span_id")
+                        .agg(F.collect_list("packed").alias("packed"))
                     )
-                    # integer division for the exchange key: double
-                    # division loses integer precision past 2^53, so
-                    # doc_ids above ~2^33 (well under the 8.8T-doc
-                    # target) could misround near span boundaries and
-                    # fragment a (term, span) group into duplicate
-                    # blocks (readers stay correct — additive — but
-                    # the layout degrades)
-                    span_expr = F.expr(f"packed div {span * (1 << dl_bits)}")
-                    sort_cols = ["fid", "term", "packed"]
+                    blocks = grouped.mapInArrow(
+                        arrow_grouped_encoder(
+                            avgdl=avgdl, span=span, fields=fields,
+                            dl_bits=dl_bits,
+                        ),
+                        schema=BLOCK_SCHEMA,
+                    )
+                    blocks_conf = {
+                        "spark.sql.shuffle.partitions": str(nparts),
+                        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                    }
                 else:
-                    stream = occ
-                    span_expr = F.expr(f"doc_id div {span}")
-                    sort_cols = ["fid", "term", "doc_id"]
-                arranged = (
-                    stream.repartition(
+                    if dl_bits is not None:
+                        stream = occ.select(
+                            "fid",
+                            "term",
+                            (
+                                F.col("doc_id") * F.lit(1 << dl_bits) + F.col("dl")
+                            ).alias("packed"),
+                        )
+                        # integer division for the exchange key: double
+                        # division loses integer precision past 2^53, so
+                        # doc_ids above ~2^33 (well under the 8.8T-doc
+                        # target) could misround near span boundaries and
+                        # fragment a (term, span) group into duplicate
+                        # blocks (readers stay correct — additive — but
+                        # the layout degrades)
+                        span_expr = F.expr(f"packed div {span * (1 << dl_bits)}")
+                        sort_cols = ["fid", "term", "packed"]
+                    else:
+                        stream = occ
+                        span_expr = F.expr(f"doc_id div {span}")
+                        sort_cols = ["fid", "term", "doc_id"]
+                    arranged = stream.repartition(
                         nparts, F.col("fid"), F.col("term"), span_expr
+                    ).sortWithinPartitions(*sort_cols)
+                    blocks = arranged.mapInArrow(
+                        arrow_carry_encoder(
+                            avgdl=avgdl, span=span, fields=fields, dl_bits=dl_bits
+                        ),
+                        schema=BLOCK_SCHEMA,
                     )
-                    .sortWithinPartitions(*sort_cols)
-                    .withColumn("part_id", F.spark_partition_id())
-                )
-                blocks = arranged.mapInArrow(
-                    arrow_carry_encoder(
-                        avgdl=avgdl, span=span, fields=fields, dl_bits=dl_bits
-                    ),
-                    schema=BLOCK_SCHEMA,
-                )
             # whole-string extra terms (index.go:546-553) bypass the
             # occurrence shuffle entirely: they are ~100 B each (half
             # the shuffle bytes) and a doc indexes its whole string
@@ -1374,13 +1573,9 @@ class IndexBuilder:
             # terms-df aggregation) is additive over blocks, so
             # per-doc blocks are semantically identical to merged
             # ones.
-            ws = (
-                _whole_string_stream(docs_in, self.analyzed_fields)
-                .withColumn("part_id", F.spark_partition_id())
-                .mapInArrow(
-                    arrow_singleton_encoder(avgdl=avgdl, span=span),
-                    schema=BLOCK_SCHEMA,
-                )
+            ws = _whole_string_stream(docs_in, self.analyzed_fields).mapInArrow(
+                arrow_singleton_encoder(avgdl=avgdl, span=span),
+                schema=BLOCK_SCHEMA,
             )
             # ONE write, bucket-partitioned: encoder output + ws
             # singletons flow through a single cheap hash-on-bucket
@@ -1394,16 +1589,26 @@ class IndexBuilder:
             # footer-min/max pruning — and each file stays
             # (field, term, span)-sorted for row-group pruning
             # inside the bucket.
-            (
-                blocks.unionByName(ws)
-                .withColumn("bucket", bucket_of(F.col("term")))
-                .repartition(max(self.n_buckets, 1), "bucket")
-                .sortWithinPartitions("field", "term", "span_id")
-                .write.mode("overwrite")
-                .option("parquet.block.size", 8 * 1024 * 1024)
-                .partitionBy("bucket")
-                .parquet(self.path("blocks"))
-            )
+            prev_conf = {k: spark.conf.get(k, None) for k in blocks_conf}
+            for k, v in blocks_conf.items():
+                spark.conf.set(k, v)
+            try:
+                (
+                    blocks.unionByName(ws)
+                    .withColumn("bucket", bucket_of(F.col("term")))
+                    .repartition(max(self.n_buckets, 1), "bucket")
+                    .sortWithinPartitions("field", "term", "span_id")
+                    .write.mode("overwrite")
+                    .option("parquet.block.size", 8 * 1024 * 1024)
+                    .partitionBy("bucket")
+                    .parquet(self.path("blocks"))
+                )
+            finally:
+                for k, v in prev_conf.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
             self._mark_stage(m, "blocks", fp)
         if stop("blocks"):
             return

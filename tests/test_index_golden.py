@@ -112,3 +112,53 @@ def test_hot_term_dict_content_invariant(spark, tmp_path):
         hot_dict_min_rows=0, n_hot=37,
     ).build(docs)
     assert sig(a) == sig(b)
+
+
+def test_grouped_encoder_byte_identical_to_carry(spark, tmp_path):
+    """The grouped (collect_list + numpy lexsort) encoder — the r4
+    scaling-efficiency default — must produce byte-identical blocks
+    to the per-occurrence repartition+sort carry encoder, INCLUDING
+    the derived block metadata (n_docs, first_doc, max_tf,
+    max_tf_norm): same postings, same tf collapse, same block-max
+    bounds, at any shuffle arrival order."""
+    from pyspark.sql import functions as F
+
+    from neosearch_spark.docids import assign_doc_ids
+    from neosearch_spark.synth import synth_transcripts
+
+    docs = assign_doc_ids(synth_transcripts(spark, 800, seed=17))
+
+    def sig(d):
+        return (
+            spark.read.parquet(str(d) + "/blocks")
+            .select(
+                F.md5(
+                    F.concat_ws(
+                        "|", "field", "term", "span_id",
+                        F.col("first_doc").cast("string"),
+                        F.col("n_docs").cast("string"),
+                        F.base64("docs_enc"), F.base64("tfs_enc"),
+                        F.base64("dls_enc"),
+                        F.format_number("max_tf", 6),
+                        F.format_number("max_tf_norm", 6),
+                    )
+                ).alias("h")
+            )
+            .agg(
+                F.sum(
+                    F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+
+    a, b = tmp_path / "grouped", tmp_path / "carry"
+    IndexBuilder(
+        str(a), span=64, exact_fields=["role", "tool"], encoder="grouped"
+    ).build(docs)
+    IndexBuilder(
+        str(b), span=64, exact_fields=["role", "tool"], encoder="carry"
+    ).build(docs)
+    sa, sb = sig(a), sig(b)
+    assert sa["n"] == sb["n"] and sa["s"] == sb["s"]
