@@ -275,6 +275,40 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    """Write the index's replayable ``.ns`` command file (the
+    reference dump workflow, ``docs/dump-restore.md:5-17``) —
+    document stream in the reference's own statement syntax."""
+    from .nscript import dump_ns
+
+    spark = _spark(args)
+    n = dump_ns(spark, args.index, args.out, name=args.name)
+    print(json.dumps({"status": "ok", "docs": n, "out": args.out}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    """Process a ``.ns`` command file (the reference restore /
+    neosearch-cli workflow, ``cmd/cli/parser/parser.go:158-456``)
+    against an index — creating it on the first document batch when
+    absent."""
+    from .nscript import replay_ns
+
+    spark = _spark(args)
+    with open(args.input) as f:
+        text = f.read()
+    build_kwargs = {}
+    if args.fields:
+        build_kwargs["analyzed_fields"] = args.fields.split(",")
+    if args.exact_fields:
+        build_kwargs["exact_fields"] = args.exact_fields.split(",")
+    res = replay_ns(
+        spark, args.index, text, build_kwargs=build_kwargs, chunk=args.chunk
+    )
+    print(json.dumps({"status": "ok", **res}, default=str))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .docids import assign_doc_ids
     from .synth import synth_transcripts
@@ -350,6 +384,23 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--cache", action="store_true",
                     help="pin blocks/terms in executor memory")
     sv.set_defaults(fn=cmd_serve)
+
+    dp = sub.add_parser("dump", help="write the replayable .ns command file")
+    dp.add_argument("--index", required=True)
+    dp.add_argument("--out", required=True)
+    dp.add_argument("--name", default="index",
+                    help="index name used in the 'using <name>....' targets")
+    dp.set_defaults(fn=cmd_dump)
+
+    rp = sub.add_parser("replay", help="process a .ns command file")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--fields", default="text",
+                    help="analyzed fields when the replay must CREATE the index")
+    rp.add_argument("--exact-fields", default="role,tool")
+    rp.add_argument("--chunk", type=int, default=100_000,
+                    help="auto-flush pending document ops at this many rows")
+    rp.set_defaults(fn=cmd_replay)
 
     y = sub.add_parser("synth", help="generate deterministic transcripts")
     y.add_argument("--out", required=True)

@@ -1,0 +1,413 @@
+"""``.ns`` command-file dump / replay — the executable twin of the
+reference's command-language workflow.
+
+The reference tooling processes text files of storage commands
+(``/root/reference/docs/dump-restore.md:5-17``) in the syntax parsed
+by ``cmd/cli/parser/parser.go:158-456``::
+
+    using sample.document.db set 1 "{\"title\": \"hello\"}";
+    using sample.title.idx mergeset "hello" 2;
+    using sample.document.db delete 7;
+
+and its dump/restore proposal is "write every KV entry as such a
+command; replay the file to restore".  This module keeps the FILE
+FORMAT (same statement grammar, so a user's existing ``.ns``
+tooling round-trips) but maps execution onto the Spark engine's
+actual write paths instead of raw KV ops:
+
+- ``using <name>.document.db set <id> "<json>"`` — batched and
+  applied through ``maintenance.upsert_docs`` (partition-scoped
+  replace-or-insert; the reference's raw re-``set`` left stale
+  postings behind, SURVEY §2.11).
+- ``using <name>.document.db delete <id>`` — batched through
+  ``maintenance.delete_docs``.
+- ``using <name>.<field>.idx get <term>`` — a point posting lookup
+  (``SparkIndex.term_docs``); pending writes are flushed first so
+  the replay is read-your-writes, like the reference engine.
+- ``using <name>.document.db get <id>`` — doc-store point lookup.
+- ``batch`` / ``flushbatch`` (``parser.go:101-116``) — replay always
+  accumulates; ``flushbatch`` forces the pending group to apply.
+- ``set``/``mergeset`` against ``*.idx`` databases are COUNTED AND
+  SKIPPED: in this engine posting lists are a pure function of the
+  documents (MergeSet happens inside the distributed build /
+  upsert), so replaying raw posting writes would bypass the very
+  invariants the corrected upsert exists to keep.  A reference dump
+  always carries the ``document.db`` stream those rows derive from.
+
+``dump`` emits exactly that replayable document stream (sorted by
+doc_id, streamed through ``toLocalIterator`` — bounded driver
+memory; this is migration tooling, not a hot path).
+
+Scale: replay applies document batches of ``chunk`` rows through the
+same O(touched-partition) upsert/delete paths as the live engine —
+the driver only ever holds one pending chunk of command text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------- parser
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<dq>  " (?: \\. | [^"\\] )* " )   # double-quoted, \-escapes
+  | (?P<sq>  ' (?: \\. | [^'\\] )* ' )   # single-quoted, \-escapes
+  | (?P<typed> (?:uint|int|float)\(\s*-?\d+(?:\.\d+)?\s*\) )  # typed casts, parser.go:205-239
+  | (?P<num> -?\d+ )
+  | (?P<word> [A-Za-z_][A-Za-z0-9_.\-]* )
+  | (?P<semi> ; )
+  | (?P<ws> \s+ )
+    """,
+    re.VERBOSE,
+)
+
+_VERBS = {"set", "mergeset", "get", "delete", "batch", "flushbatch"}
+
+
+def _unquote(tok: str) -> str:
+    # invert dump's escaping: backslash releases the next char
+    # (handles \" \' \\ — the superset of the reference's escaped
+    # tokens, parser.go:299-313)
+    body = tok[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+@dataclass
+class Command:
+    """One parsed statement (the engine.Command analog).
+
+    ``index``/``database`` split the ``using`` target at the FIRST
+    dot (parser_test.go:32-49: ``sample.test.idx`` → index
+    ``sample``, database ``test.idx``).  ``key``/``value`` are str or
+    int (``uint()``/``int()`` wrappers and bare numbers → int)."""
+
+    index: str
+    database: str
+    verb: str
+    key: str | int | None = None
+    value: str | int | None = None
+
+
+def _tokens(text: str):
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(
+                f"ns parse error at offset {pos}: {text[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        yield kind, m.group()
+
+
+def parse_ns(text: str) -> list[Command]:
+    """Parse ``.ns`` statements: ``using <index>.<db> <verb> [key]
+    [value]`` terminated by ``;`` (the final statement may omit it,
+    parser_test.go:118-121)."""
+    cmds: list[Command] = []
+    cur: list[tuple[str, str]] = []
+
+    def lit(kind: str, tok: str) -> str | int:
+        if kind == "num":
+            return int(tok)
+        if kind == "typed":
+            body = tok[tok.index("(") + 1 : -1]
+            return float(body) if tok.startswith("float") else int(body)
+        if kind in ("dq", "sq"):
+            return _unquote(tok)
+        return tok  # bare word key/value is a string
+
+    def flush() -> None:
+        if not cur:
+            return
+        if len(cur) < 3 or cur[0][1].lower() != "using" or cur[0][0] != "word":
+            raise ValueError(f"bad ns statement: {' '.join(t for _, t in cur)!r}")
+        target_kind, target = cur[1]
+        tgt = target if target_kind not in ("dq", "sq") else _unquote(target)
+        if "." not in tgt:
+            raise ValueError(f"using target needs <index>.<database>: {tgt!r}")
+        index, database = tgt.split(".", 1)
+        verb_kind, verb = cur[2]
+        verb = verb.lower()
+        if verb_kind != "word" or verb not in _VERBS:
+            raise ValueError(f"unknown ns command {verb!r}")
+        args = [lit(k, t) for k, t in cur[3:]]
+        if verb in ("set", "mergeset") and len(args) != 2:
+            raise ValueError(f"{verb} needs key and value: {tgt!r}")
+        if verb in ("get", "delete") and len(args) != 1:
+            raise ValueError(f"{verb} needs exactly a key: {tgt!r}")
+        if verb in ("batch", "flushbatch") and args:
+            raise ValueError(f"{verb} takes no arguments: {tgt!r}")
+        cmds.append(
+            Command(
+                index=index,
+                database=database,
+                verb=verb,
+                key=args[0] if args else None,
+                value=args[1] if len(args) > 1 else None,
+            )
+        )
+        cur.clear()
+
+    for kind, tok in _tokens(text):
+        if kind == "semi":
+            flush()
+        elif kind == "word" and tok.lower() == "using" and cur:
+            # statement boundary without ';' (EOF rule generalized:
+            # a new 'using' closes the previous statement)
+            flush()
+            cur.append((kind, tok))
+        else:
+            cur.append((kind, tok))
+    flush()
+    return cmds
+
+
+# ---------------------------------------------------------------- dump
+
+def _ns_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def dump_ns(
+    spark: SparkSession, index_dir: str, out_path: str, name: str = "index"
+) -> int:
+    """Write the index's replayable ``.ns`` document stream: one
+    ``using <name>.document.db set <doc_id> "<json>";`` line per
+    stored document (doc_id order), wrapped in ``batch`` /
+    ``flushbatch``.  Internal columns (``dl``, ``doc_part``) are
+    derived data and stay out of the dump.  Returns the doc count."""
+    from pyspark.sql import functions as F
+
+    from .maintenance import _load_manifest, read_docs
+
+    m = _load_manifest(index_dir)
+    docs = read_docs(spark, index_dir, m)
+    cols = [c for c in docs.columns if c not in ("dl", "doc_part")]
+    stream = (
+        docs.select(
+            F.col("doc_id"),
+            F.to_json(F.struct(*cols)).alias("js"),
+        )
+        .orderBy("doc_id")
+    )
+    n = 0
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"using {name}.document.db batch;\n")
+        # toLocalIterator: one partition in driver memory at a time
+        for row in stream.toLocalIterator():
+            f.write(
+                f'using {name}.document.db set {row["doc_id"]} '
+                f'"{_ns_escape(row["js"])}";\n'
+            )
+            n += 1
+        f.write(f"using {name}.document.db flushbatch;\n")
+    os.replace(tmp, out_path)
+    return n
+
+
+# ---------------------------------------------------------------- replay
+
+def _apply_sets(
+    spark: SparkSession,
+    index_dir: str,
+    rows: list[tuple[int, str]],
+    build_kwargs: dict,
+) -> dict:
+    """Apply one pending document-set group.  Duplicate ids within a
+    group keep the LAST occurrence (reference ``set`` overwrite
+    semantics); the engine's upsert would reject the ambiguity."""
+    from pyspark.sql import functions as F
+
+    from .build import IndexBuilder
+    from .maintenance import upsert_docs
+
+    last: dict[int, str] = {}
+    for doc_id, js in rows:
+        last[int(doc_id)] = js
+    exists = os.path.exists(os.path.join(index_dir, "manifest.json"))
+    reader = spark.read
+    if exists:
+        # an existing index dictates the payload schema (typed ts
+        # etc.) — upsert unions by name against the stored table
+        from pyspark.sql.types import StructType
+
+        from .maintenance import _load_manifest
+
+        sj = _load_manifest(index_dir).get("params", {}).get("docs_schema")
+        if sj:
+            full = StructType.fromJson(json.loads(sj))
+            reader = reader.schema(
+                StructType(
+                    [f for f in full.fields if f.name not in ("dl", "doc_part")]
+                )
+            )
+    else:
+        # fresh index: recover timestamp columns from their ISO
+        # to_json form instead of leaving them strings
+        reader = reader.option("inferTimestamp", "true")
+    batch = reader.json(
+        spark.sparkContext.parallelize(list(last.values()), 32)
+    )
+    if "doc_id" not in batch.columns:
+        raise ValueError("document.db set payloads must carry doc_id")
+    batch = batch.withColumn("doc_id", F.col("doc_id").cast("long"))
+    if not exists:
+        IndexBuilder(index_dir, **build_kwargs).build(batch)
+        return {"built": len(last)}
+    return upsert_docs(spark, index_dir, batch)
+
+
+def replay_ns(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    build_kwargs: dict | None = None,
+    chunk: int = 100_000,
+    get_limit: int = 100,
+) -> dict:
+    """Replay a parsed ``.ns`` command stream against ``index_dir``.
+
+    Creates the index on the first document flush when no manifest
+    exists (``build_kwargs`` → ``IndexBuilder``; the reference
+    equivalent is the create-index DDL that precedes a restore),
+    otherwise applies through the partition-scoped maintenance
+    paths.  Pending sets/deletes auto-flush at ``chunk`` rows so
+    driver memory stays bounded on huge dumps.
+
+    Returns counters plus the ``get`` results in command order."""
+    from .query import SparkIndex
+
+    build_kwargs = dict(build_kwargs or {})
+    sets: list[tuple[int, str]] = []
+    deletes: list[int] = []
+    counters = {
+        "n_set": 0,
+        "n_deleted": 0,
+        "n_gets": 0,
+        "n_skipped_derived": 0,
+        "n_flushes": 0,
+    }
+    gets: list[dict] = []
+    idx_handle: list[SparkIndex | None] = [None]
+
+    def flush() -> None:
+        # preserve set/delete ordering at group granularity: whichever
+        # op type is pending applies; both pending means the file
+        # interleaved them inside one chunk — apply sets then deletes
+        # in dump order is WRONG for interleaves, so flush happens on
+        # every op-type switch (see below) and both never pend here.
+        if sets:
+            _apply_sets(spark, index_dir, sets, build_kwargs)
+            counters["n_set"] += len({i for i, _ in sets})
+            sets.clear()
+            counters["n_flushes"] += 1
+            idx_handle[0] = None  # table swap → reopen on next read
+        if deletes:
+            from .maintenance import delete_docs
+
+            ids = spark.createDataFrame(
+                [(int(i),) for i in dict.fromkeys(deletes)], "doc_id long"
+            )
+            res = delete_docs(spark, index_dir, ids)
+            counters["n_deleted"] += res.get("n_deleted", 0)
+            deletes.clear()
+            counters["n_flushes"] += 1
+            idx_handle[0] = None
+
+    def handle() -> SparkIndex:
+        if idx_handle[0] is None:
+            idx_handle[0] = SparkIndex(spark, index_dir)
+        return idx_handle[0]
+
+    for cmd in parse_ns(text):
+        db = cmd.database
+        if db == "document.db":
+            if cmd.verb in ("set", "mergeset"):
+                if deletes:
+                    flush()
+                sets.append((int(cmd.key), str(cmd.value)))
+                if len(sets) >= chunk:
+                    flush()
+            elif cmd.verb == "delete":
+                if sets:
+                    flush()
+                deletes.append(int(cmd.key))
+                if len(deletes) >= chunk:
+                    flush()
+            elif cmd.verb == "get":
+                flush()
+                rows = (
+                    handle()
+                    .get_docs(
+                        spark.createDataFrame(
+                            [(int(cmd.key),)], "doc_id long"
+                        )
+                    )
+                    .collect()
+                )
+                gets.append(
+                    {
+                        "database": db,
+                        "key": cmd.key,
+                        "doc": rows[0].asDict(recursive=True) if rows else None,
+                    }
+                )
+                counters["n_gets"] += 1
+            # batch: replay always batches; flushbatch handled below
+            elif cmd.verb == "flushbatch":
+                flush()
+        elif db.endswith(".idx"):
+            field = db[: -len(".idx")]
+            if cmd.verb == "get":
+                flush()
+                ids = (
+                    handle()
+                    .term_docs(str(cmd.key), field=field)
+                    .orderBy("doc_id")
+                    .limit(get_limit)
+                    .collect()
+                )
+                gets.append(
+                    {
+                        "database": db,
+                        "key": cmd.key,
+                        "doc_ids": [r["doc_id"] for r in ids],
+                    }
+                )
+                counters["n_gets"] += 1
+            elif cmd.verb in ("set", "mergeset", "delete"):
+                # derived data — postings are rebuilt from the
+                # document stream (module docstring)
+                counters["n_skipped_derived"] += 1
+            elif cmd.verb == "flushbatch":
+                flush()
+        else:
+            # opaque KV database with no Spark-engine analog
+            if cmd.verb in ("set", "mergeset", "delete", "get"):
+                counters["n_skipped_derived"] += 1
+            elif cmd.verb == "flushbatch":
+                flush()
+    flush()
+    counters["gets"] = gets
+    return counters

@@ -1,0 +1,237 @@
+"""``.ns`` command-file dump/replay — parser parity with the
+reference's cli parser (``cmd/cli/parser/parser_test.go:13-121``)
+plus the Spark-side dump → replay → identical-index roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+
+from neosearch_spark.nscript import Command, dump_ns, parse_ns, replay_ns
+
+
+# ------------------------------------------------------------- parser
+
+def test_parse_single_command_semicolon():
+    cmds = parse_ns('using sample.TEST mergeset a 1;')
+    assert cmds == [
+        Command(index="sample", database="TEST", verb="mergeset", key="a", value=1)
+    ]
+
+
+def test_parse_reference_suite():
+    # the multi-command case from parser_test.go:31-115 (final
+    # statement without a trailing semicolon)
+    text = r'''using sample.test.idx mergeset a 2;
+         using sample.document.db set 1 "{id: 1, name: \"teste\"}";
+         using sample.lalala set hello "world";
+         using sample.mimimi get hello;
+         using sample.lelele delete "teste";
+         using sample.bleh.idx get uint(1);
+         using sample.aaaa.bbb set uint(10000) int(10);
+         using sample.bbbb.ccc mergeset "hellooooooooooooooooo" uint(102999299112211223);
+         using sample.aaa delete "bbb"
+    '''
+    cmds = parse_ns(text)
+    assert [
+        (c.index, c.database, c.verb, c.key, c.value) for c in cmds
+    ] == [
+        ("sample", "test.idx", "mergeset", "a", 2),
+        ("sample", "document.db", "set", 1, '{id: 1, name: "teste"}'),
+        ("sample", "lalala", "set", "hello", "world"),
+        ("sample", "mimimi", "get", "hello", None),
+        ("sample", "lelele", "delete", "teste", None),
+        ("sample", "bleh.idx", "get", 1, None),
+        ("sample", "aaaa.bbb", "set", 10000, 10),
+        ("sample", "bbbb.ccc", "mergeset", "hellooooooooooooooooo", 102999299112211223),
+        ("sample", "aaa", "delete", "bbb", None),
+    ]
+
+
+def test_parse_underscore_index_no_semicolon():
+    # parser_test.go:118-121
+    cmds = parse_ns('using sample.user_password set admin "s3cr3t"')
+    assert cmds == [
+        Command(
+            index="sample", database="user_password", verb="set",
+            key="admin", value="s3cr3t",
+        )
+    ]
+
+
+def test_parse_float_cast():
+    # parser.go:205-239 typed casts include float()
+    cmds = parse_ns("using s.scores.idx set k float(1.5);")
+    assert cmds[0].value == 1.5
+
+
+def test_parse_batch_flushbatch():
+    cmds = parse_ns("using s.document.db batch; using s.document.db flushbatch;")
+    assert [(c.verb, c.key, c.value) for c in cmds] == [
+        ("batch", None, None),
+        ("flushbatch", None, None),
+    ]
+
+
+def test_parse_escaped_backslash_roundtrip():
+    # dump escapes backslash-then-quote; the parser must invert it
+    cmds = parse_ns(r'using s.document.db set 1 "a\\b\"c";')
+    assert cmds[0].value == 'a\\b"c'
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "using sample.x frobnicate a 1;",     # unknown verb
+        "using sample.x set onlykey;",        # set needs value
+        "using sample.x get a b;",            # get takes one arg
+        "using sample.x batch 1;",            # batch takes none
+        "using nodatabase set a 1;",          # target needs a dot
+        "set a 1;",                           # missing using
+    ],
+)
+def test_parse_rejects_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_ns(bad)
+
+
+# ----------------------------------------------------- dump + replay
+
+def _build_small(spark, path, n=80, seed=11):
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.docids import assign_doc_ids
+    from neosearch_spark.synth import synth_transcripts
+
+    docs = assign_doc_ids(synth_transcripts(spark, n, seed=seed))
+    IndexBuilder(str(path), span=64, exact_fields=["role", "tool"]).build(docs)
+    return docs
+
+
+def _sig(spark, path):
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, str(path))
+    term = sorted(r["doc_id"] for r in si.term_docs("tok1").collect())
+    role = sorted(
+        r["doc_id"] for r in si.term_docs("assistant", field="role").collect()
+    )
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in si.bm25_topk("tok1 tok3", 10).collect()
+    ]
+    return term, role, top
+
+
+def test_dump_replay_roundtrip(spark, tmp_path):
+    src, dst = tmp_path / "src_idx", tmp_path / "dst_idx"
+    _build_small(spark, src)
+    ns = tmp_path / "dump.ns"
+    n = dump_ns(spark, str(src), str(ns), name="sample")
+    assert n == 80
+    text = ns.read_text()
+    assert text.startswith("using sample.document.db batch;")
+    assert text.rstrip().endswith("using sample.document.db flushbatch;")
+    assert 'using sample.document.db set 0 "' in text
+
+    res = replay_ns(
+        spark, str(dst), text,
+        build_kwargs={"exact_fields": ["role", "tool"], "span": 64},
+    )
+    assert res["n_set"] == 80
+    assert _sig(spark, dst) == _sig(spark, src)
+
+
+def test_replay_maintenance_and_gets(spark, tmp_path):
+    idx = tmp_path / "r_idx"
+    _build_small(spark, idx, n=40)
+    # delete two docs, then read-your-writes lookups; .idx mergesets
+    # are derived data and must be skipped, not applied
+    text = """
+    using sample.text.idx mergeset "tok1" 999;
+    using sample.document.db delete 0;
+    using sample.document.db delete 1;
+    using sample.document.db get 0;
+    using sample.text.idx get tok1;
+    using sample.somekv set hello "world";
+    """
+    res = replay_ns(spark, str(idx), text)
+    assert res["n_deleted"] == 2
+    assert res["n_skipped_derived"] == 2
+    assert res["gets"][0]["doc"] is None            # deleted doc gone
+    assert 0 not in res["gets"][1]["doc_ids"]
+    assert 1 not in res["gets"][1]["doc_ids"]
+
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, str(idx))
+    assert si.get_docs(
+        spark.createDataFrame([(0,), (1,)], "doc_id long")
+    ).count() == 0
+
+
+def test_replay_duplicate_set_last_wins(spark, tmp_path):
+    # reference `set` overwrites; inside one batch the LAST payload
+    # for an id must win (the engine's upsert rejects duplicate ids)
+    idx = tmp_path / "dup_idx"
+    text = r'''
+    using s.document.db set 1 "{\"doc_id\": 1, \"text\": \"alpha beta\"}";
+    using s.document.db set 2 "{\"doc_id\": 2, \"text\": \"gamma\"}";
+    using s.document.db set 1 "{\"doc_id\": 1, \"text\": \"delta\"}";
+    '''
+    res = replay_ns(
+        spark, str(idx), text, build_kwargs={"analyzed_fields": ["text"]}
+    )
+    assert res["n_set"] == 2
+
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, str(idx))
+    assert [r["doc_id"] for r in si.term_docs("delta").collect()] == [1]
+    assert si.term_docs("alpha").count() == 0
+
+
+def test_replay_chunked_flush_and_upsert(spark, tmp_path):
+    # chunk=2 forces mid-stream flushes: first flush CREATES the
+    # index, later ones route through partition-scoped upsert
+    idx = tmp_path / "chunk_idx"
+    lines = [
+        'using s.document.db set %d "{\\"doc_id\\": %d, \\"text\\": \\"tokA doc%d\\"}";'
+        % (i, i, i)
+        for i in range(5)
+    ]
+    res = replay_ns(
+        spark, str(idx), "\n".join(lines),
+        build_kwargs={"analyzed_fields": ["text"]}, chunk=2,
+    )
+    assert res["n_set"] == 5
+    assert res["n_flushes"] == 3
+
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, str(idx))
+    assert sorted(
+        r["doc_id"] for r in si.term_docs("toka").collect()
+    ) == [0, 1, 2, 3, 4]
+
+
+def test_cli_dump_replay_subcommands(spark, tmp_path, capsys):
+    import json
+
+    from neosearch_spark import cli
+
+    src, dst = tmp_path / "cli_src", tmp_path / "cli_dst"
+    _build_small(spark, src, n=40)
+    ns = tmp_path / "cli.ns"
+
+    rc = cli.main(["dump", "--index", str(src), "--out", str(ns),
+                   "--name", "sample"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"status": "ok", "docs": 40, "out": str(ns)}
+
+    rc = cli.main(["replay", "--input", str(ns), "--index", str(dst),
+                   "--fields", "text", "--exact-fields", "role,tool"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok"
+    assert out["n_set"] == 40
+    assert _sig(spark, dst) == _sig(spark, src)
