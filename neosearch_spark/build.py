@@ -210,8 +210,17 @@ def check_doc_id_bounds(docs: DataFrame, docs_span: int) -> tuple[int, int]:
     idr = docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
-    min_doc_id = int(idr["lo"]) if idr["lo"] is not None else 0
-    max_doc_id = int(idr["hi"]) if idr["hi"] is not None else 0
+    return validate_doc_id_bounds(idr["lo"], idr["hi"], docs_span)
+
+
+def validate_doc_id_bounds(
+    lo: int | None, hi: int | None, docs_span: int
+) -> tuple[int, int]:
+    """The validation half of ``check_doc_id_bounds`` for callers
+    that already have the min/max (e.g. from an ``Observation``
+    piggybacked on a write they were doing anyway)."""
+    min_doc_id = int(lo) if lo is not None else 0
+    max_doc_id = int(hi) if hi is not None else 0
     if min_doc_id < 0:
         raise ValueError(
             f"negative doc_id {min_doc_id}: doc_ids must be "
@@ -1121,6 +1130,10 @@ class IndexBuilder:
         # 8) — kept A/B'd for network-shuffle clusters where wire
         # bytes dominate.  Neither affects index CONTENT (tested
         # byte-identical).
+        if encoder not in ("carry", "grouped"):
+            raise ValueError(
+                f"unknown encoder {encoder!r}: expected 'carry' or 'grouped'"
+            )
         self.encoder = encoder
         self.span = span
         self.hot_dict_min_rows = hot_dict_min_rows
@@ -1221,7 +1234,12 @@ class IndexBuilder:
         if resume and prior.get("ok") and os.path.exists(self.path("docs")):
             n_rows = spark.read.parquet(self.path("docs")).count()
         else:
-            n_rows = docs.count()
+            # assign_doc_ids already counted every partition for its
+            # offsets — trust its carried total and skip a whole
+            # count() pass over the corpus
+            n_rows = getattr(docs, "_nsq_n_rows", None)
+            if n_rows is None:
+                n_rows = docs.count()
         fp = (
             f"v{INDEX_FORMAT_VERSION};n={n_rows};"
             f"fields={self.analyzed_fields}+{self.exact_fields}"
@@ -1427,6 +1445,18 @@ class IndexBuilder:
             # (measured ~2x on the encode step vs 1x parallelism at
             # 33M rows).
             blocks_conf: dict[str, str] = {}
+            if self.encoder == "grouped" and vocab:
+                # content is identical either way, but a user
+                # A/B-benchmarking the grouped boundary shape must
+                # know when another routing choice displaced it
+                import warnings
+
+                warnings.warn(
+                    "encoder='grouped' ignored: the hot-term shuffle "
+                    "dictionary engaged (hot_dict_min_rows) and uses "
+                    "the coded carry path",
+                    stacklevel=2,
+                )
             if vocab:
                 hot_df = spark.createDataFrame(
                     [(t, i) for i, t in enumerate(vocab)],
@@ -1533,6 +1563,18 @@ class IndexBuilder:
                         "spark.sql.adaptive.coalescePartitions.enabled": "false",
                     }
                 else:
+                    if self.encoder == "grouped":
+                        # only reachable when dl_bits is None (doc_id
+                        # or dl too wide to pack) — grouped requires
+                        # the packed column
+                        import warnings
+
+                        warnings.warn(
+                            "encoder='grouped' ignored: doc lengths or "
+                            "doc_ids exceed the packed-int64 budget; "
+                            "using the carry encoder",
+                            stacklevel=2,
+                        )
                     if dl_bits is not None:
                         stream = occ.select(
                             "fid",
@@ -1646,6 +1688,10 @@ class IndexBuilder:
 
         # stage: counters (per-partition lineage — north_rule)
         if not self._stage_done(m, "counters", fp):
+            # manifest totals ride the write as an Observation — the
+            # old read-back aggregate was a whole extra job whose
+            # fixed cost never shrank with cores
+            obs_tot = Observation()
             counters = blocks_t.groupBy("part_id").agg(
                 F.count(F.lit(1)).cast("long").alias("n_blocks"),
                 F.approx_count_distinct("term").alias("n_terms_approx"),
@@ -1653,22 +1699,21 @@ class IndexBuilder:
                 F.sum(
                     F.length("docs_enc") + F.length("tfs_enc") + F.length("dls_enc")
                 ).cast("long").alias("bytes"),
+            ).observe(
+                obs_tot,
+                F.sum("n_blocks").alias("tb"),
+                F.sum("n_postings").alias("tp"),
+                F.sum("bytes").alias("by"),
             )
             counters.write.mode("overwrite").parquet(self.path("counters"))
-            tot = (
-                spark.read.parquet(self.path("counters"))
-                .agg(
-                    F.sum("n_blocks"), F.sum("n_postings"), F.sum("bytes")
-                )
-                .collect()[0]
-            )
+            tot = obs_tot.get
             self._mark_stage(
                 m,
                 "counters",
                 fp,
-                total_blocks=int(tot[0] or 0),
-                total_postings=int(tot[1] or 0),
-                total_bytes=int(tot[2] or 0),
+                total_blocks=int(tot.get("tb") or 0),
+                total_postings=int(tot.get("tp") or 0),
+                total_bytes=int(tot.get("by") or 0),
             )
 
 

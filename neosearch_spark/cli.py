@@ -235,6 +235,12 @@ def serve_loop(idx, lines, out, default_k: int = 10) -> int:
         try:
             req = json.loads(line) if line.startswith("{") else {"queries": [line]}
             queries = req["queries"]
+            # a bare string would iterate per CHARACTER below and
+            # "succeed" with one garbage result set per letter
+            if not isinstance(queries, list) or not queries or not all(
+                isinstance(q, str) for q in queries
+            ):
+                raise ValueError('"queries" must be a non-empty list of strings')
             k = int(req.get("k", default_k))
             if len(queries) == 1:
                 rows = [
@@ -302,6 +308,11 @@ def cmd_replay(args) -> int:
         build_kwargs["analyzed_fields"] = args.fields.split(",")
     if args.exact_fields:
         build_kwargs["exact_fields"] = args.exact_fields.split(",")
+    if not build_kwargs:
+        # no field lists → schema-inferred dispatch (the reference's
+        # reflection behavior, index.go:355-480) instead of baked-in
+        # column names the replayed docs may not have
+        build_kwargs["infer"] = True
     res = replay_ns(
         spark, args.index, text, build_kwargs=build_kwargs, chunk=args.chunk
     )
@@ -395,9 +406,10 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("replay", help="process a .ns command file")
     rp.add_argument("--input", required=True)
     rp.add_argument("--index", required=True)
-    rp.add_argument("--fields", default="text",
-                    help="analyzed fields when the replay must CREATE the index")
-    rp.add_argument("--exact-fields", default="role,tool")
+    rp.add_argument("--fields", default=None,
+                    help="analyzed fields when the replay must CREATE the "
+                         "index (default: infer from the document schema)")
+    rp.add_argument("--exact-fields", default=None)
     rp.add_argument("--chunk", type=int, default=100_000,
                     help="auto-flush pending document ops at this many rows")
     rp.set_defaults(fn=cmd_replay)

@@ -70,6 +70,12 @@ def assign_doc_ids(
         .withColumn("doc_id", F.col("_off") + (F.col("_mid") - F.col("_minmid")))
         .drop("_pid", "_mid", "_off", "_minmid")
     )
+    # the offsets pass already counted every partition — carry the
+    # exact total so IndexBuilder.build can skip its own count()
+    # pre-pass over the corpus (one fewer full input scan per build;
+    # the attribute dies with any further transformation, and build
+    # falls back to counting)
+    out._nsq_n_rows = running
     return out
 
 

@@ -188,6 +188,13 @@ def _ns_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"')
 
 
+def _has_parquet(root: str) -> bool:
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def dump_ns(
     spark: SparkSession, index_dir: str, out_path: str, name: str = "index"
 ) -> int:
@@ -195,10 +202,34 @@ def dump_ns(
     ``using <name>.document.db set <doc_id> "<json>";`` line per
     stored document (doc_id order), wrapped in ``batch`` /
     ``flushbatch``.  Internal columns (``dl``, ``doc_part``) are
-    derived data and stay out of the dump.  Returns the doc count."""
+    derived data and stay out of the dump.  Returns the doc count.
+
+    Refuses an index holding documents the dump CANNOT carry:
+    streamed docs live as postings + ``doc_len_extra`` rows with no
+    doc-store payload (streaming.py delta design), and uncompacted
+    ``*_delta`` dirs are pending writes — a dump that silently
+    dropped either would "restore" a smaller index."""
     from pyspark.sql import functions as F
 
     from .maintenance import _load_manifest, read_docs
+
+    if "." in name:
+        # parse_ns splits the using-target at the FIRST dot
+        # (parser_test.go:32-49) — a dotted name would make every
+        # statement's database 'x.document.db', which replay skips
+        raise ValueError(f"dump name must not contain '.': {name!r}")
+    for sub, why in (
+        ("doc_len_extra", "streamed docs have no stored payload"),
+        ("tf_delta", "uncompacted stream deltas pending"),
+        ("doc_len_delta", "uncompacted stream deltas pending"),
+    ):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p) and _has_parquet(p):
+            raise ValueError(
+                f"index has {sub} rows ({why}): the .ns document "
+                "stream cannot represent them, a replay would lose "
+                "those documents"
+            )
 
     m = _load_manifest(index_dir)
     docs = read_docs(spark, index_dir, m)
@@ -206,7 +237,9 @@ def dump_ns(
     stream = (
         docs.select(
             F.col("doc_id"),
-            F.to_json(F.struct(*cols)).alias("js"),
+            F.to_json(
+                F.struct(*cols), {"ignoreNullFields": "false"}
+            ).alias("js"),
         )
         .orderBy("doc_id")
     )
@@ -257,11 +290,25 @@ def _apply_sets(
         sj = _load_manifest(index_dir).get("params", {}).get("docs_schema")
         if sj:
             full = StructType.fromJson(json.loads(sj))
-            reader = reader.schema(
-                StructType(
-                    [f for f in full.fields if f.name not in ("dl", "doc_part")]
-                )
+            schema = StructType(
+                [f for f in full.fields if f.name not in ("dl", "doc_part")]
             )
+            # spark.read.json with an explicit schema silently drops
+            # unknown keys — for a dump that would LOSE data, so scan
+            # the (already driver-resident) payloads' top-level keys
+            # first and fail loudly on one the schema can't hold
+            # (e.g. a foreign dump whose early chunks never mention a
+            # late-appearing column; migration tooling, not hot path)
+            known = set(schema.fieldNames())
+            for js in last.values():
+                extra = set(json.loads(js)) - known
+                if extra:
+                    raise ValueError(
+                        f"replay payload carries columns the index's "
+                        f"doc schema lacks: {sorted(extra)} — rebuild "
+                        "with a full-schema dump instead of upserting"
+                    )
+            reader = reader.schema(schema)
     else:
         # fresh index: recover timestamp columns from their ISO
         # to_json form instead of leaving them strings
@@ -294,6 +341,13 @@ def replay_ns(
     otherwise applies through the partition-scoped maintenance
     paths.  Pending sets/deletes auto-flush at ``chunk`` rows so
     driver memory stays bounded on huge dumps.
+
+    Schema note: a FRESH index's doc schema is inferred from the
+    first flushed chunk.  Unknown columns in later chunks fail
+    loudly (never silently dropped), but a column whose first-chunk
+    values are ALL null infers as string — for full type fidelity on
+    heterogeneous dumps, raise ``chunk`` above the corpus size or
+    create the index first so its stored ``docs_schema`` governs.
 
     Returns counters plus the ``get`` results in command order."""
     from .query import SparkIndex

@@ -57,8 +57,18 @@ def stream_ingest(
         .parquet(input_dir)
     )
 
+    # resolve docs_span ONCE per stream, not once per micro-batch
+    # (the manifest is immutable between maintenance swaps; a stream
+    # started before any build keeps re-checking until it appears)
+    span_cache: list[int | None] = [None]
+
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        delta_sink(batch, epoch_id, index_dir, analyzed_fields)
+        if span_cache[0] is None:
+            span_cache[0] = _manifest_docs_span(index_dir)
+        delta_sink(
+            batch, epoch_id, index_dir, analyzed_fields,
+            docs_span=span_cache[0],
+        )
 
     return (
         src.writeStream.foreachBatch(sink)
@@ -68,39 +78,78 @@ def stream_ingest(
     )
 
 
+def _manifest_docs_span(index_dir: str) -> int | None:
+    import json as _json
+
+    mp = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        v = _json.load(f).get("params", {}).get("docs_span")
+    return int(v) if v else None
+
+
 def delta_sink(
-    batch: DataFrame, epoch_id: int, index_dir: str, analyzed_fields: list[str]
+    batch: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    analyzed_fields: list[str],
+    docs_span: int | None = None,
 ) -> None:
     """One micro-batch's delta writes, IDEMPOTENT under foreachBatch's
     at-least-once replay: each epoch overwrites its OWN ``epoch=N``
     partition directory (an append would double every replayed
     posting's tf at the next compaction), and a crash between the two
     writes heals on replay because both directories are rewritten
-    whole."""
-    import json as _json
+    whole.
 
-    from .build import check_doc_id_bounds
+    ``docs_span``: pass the manifest's value to skip the per-batch
+    manifest read (``stream_ingest`` resolves it once per stream)."""
+    from pyspark.sql import Observation
+
+    from .build import validate_doc_id_bounds
+
+    if docs_span is None:
+        docs_span = _manifest_docs_span(index_dir)
 
     # same doc_id bounds guards as IndexBuilder.build (ADVICE r3): a
     # negative or sparse-hash id must fail loudly HERE, not overflow
     # span/doc_part keys silently at compaction.  Without a manifest
     # (delta dir created before any build) only negativity is
     # checkable — the huge pseudo-span disarms the partition-key test.
-    docs_span = None
-    mp = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
-            docs_span = _json.load(f).get("params", {}).get("docs_span")
-    check_doc_id_bounds(batch, int(docs_span) if docs_span else 1 << 32)
+    # The min/max ride the doc_len write as an Observation (no extra
+    # per-batch Spark job).  The write lands in a dot-prefixed tmp
+    # dir (invisible to Spark's file listing) and publishes by rename
+    # only AFTER the bounds pass — a failing batch leaves nothing a
+    # later compaction could read, same as the old pre-write check.
+    import shutil
+
+    obs = Observation()
+    dld = os.path.join(index_dir, "doc_len_delta")
+    tmp = os.path.join(dld, f".tmp_epoch_{int(epoch_id)}")
+    final = os.path.join(dld, f"epoch={int(epoch_id)}")
+    (
+        batch.select(
+            "doc_id", doc_len_col(F.col(analyzed_fields[0])).alias("dl")
+        )
+        .observe(obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        got = obs.get
+        validate_doc_id_bounds(
+            got.get("lo"), got.get("hi"), docs_span if docs_span else 1 << 32
+        )
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
 
     tf = _tf_stream(batch, analyzed_fields, [])
     tf.write.mode("overwrite").parquet(
         os.path.join(index_dir, "tf_delta", f"epoch={int(epoch_id)}")
-    )
-    batch.select(
-        "doc_id", doc_len_col(F.col(analyzed_fields[0])).alias("dl")
-    ).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "doc_len_delta", f"epoch={int(epoch_id)}")
     )
 
 

@@ -205,3 +205,16 @@ def test_snapshot_subcommand(spark, tmp_path, capsys):
     from neosearch_spark.query import SparkIndex
 
     assert SparkIndex(spark, d).n_docs == 100
+
+
+def test_serve_loop_rejects_string_queries():
+    # {"queries": "vector"} must be rejected, not iterated per char
+    import io
+
+    out = io.StringIO()
+    served = cli.serve_loop(None, ['{"queries": "vector"}',
+                                   '{"queries": []}',
+                                   '{"queries": [7]}'], out)
+    assert served == 3
+    for line in out.getvalue().strip().splitlines():
+        assert "non-empty list of strings" in json.loads(line)["error"]

@@ -11,13 +11,22 @@ type-class / sorted-value-multiset comparison the driver applies.
 
 from __future__ import annotations
 
-import math
 import os
+import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+# THE driver-replica comparison helpers — imported, not copied, so the
+# pytest evidence path and tools/check_contract.py can never diverge
+from check_contract import canon_type as _canon_type  # noqa: E402
+from check_contract import norm_cell as _norm_cell  # noqa: E402
+from check_contract import rows_key as _rows_key  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 TABLES = [
@@ -36,31 +45,6 @@ def ducon():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield con
     con.close()
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.9g}"
-    return str(v)
-
-
-def _rows_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
-
-
-def _canon_type(t: str) -> str:
-    t = t.lower()
-    for cls, keys in (
-        ("int", ("tinyint", "smallint", "int", "bigint", "long", "hugeint")),
-        ("float", ("float", "double", "real", "decimal")),
-        ("bool", ("bool",)),
-        ("ts", ("timestamp", "date")),
-        ("str", ("string", "varchar", "char", "text")),
-    ):
-        if any(k in t for k in keys):
-            return cls
-    return t
 
 
 def test_every_extra_has_coverage():

@@ -162,3 +162,8 @@ def test_grouped_encoder_byte_identical_to_carry(spark, tmp_path):
     ).build(docs)
     sa, sb = sig(a), sig(b)
     assert sa["n"] == sb["n"] and sa["s"] == sb["s"]
+
+
+def test_unknown_encoder_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unknown encoder"):
+        IndexBuilder(str(tmp_path), encoder="gropued")

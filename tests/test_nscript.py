@@ -235,3 +235,67 @@ def test_cli_dump_replay_subcommands(spark, tmp_path, capsys):
     assert out["status"] == "ok"
     assert out["n_set"] == 40
     assert _sig(spark, dst) == _sig(spark, src)
+
+
+def test_dump_rejects_dotted_name(tmp_path):
+    with pytest.raises(ValueError, match="must not contain"):
+        dump_ns(None, str(tmp_path), str(tmp_path / "o.ns"), name="my.index")
+
+
+def test_dump_rejects_undumpable_streamed_docs(tmp_path):
+    # streamed docs live as doc_len_extra rows with no doc-store
+    # payload — a dump would silently lose them (filesystem check,
+    # raised before any Spark work)
+    d = tmp_path / "idx" / "doc_len_extra" / "doc_part=0"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="doc_len_extra"):
+        dump_ns(None, str(tmp_path / "idx"), str(tmp_path / "o.ns"))
+
+
+def test_dump_rejects_pending_deltas(tmp_path):
+    d = tmp_path / "idx" / "tf_delta" / "epoch=3"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="tf_delta"):
+        dump_ns(None, str(tmp_path / "idx"), str(tmp_path / "o.ns"))
+
+
+def test_replay_rejects_unknown_columns(spark, tmp_path):
+    # spark.read.json with an explicit schema silently drops unknown
+    # keys — replay must fail loudly instead of losing the column
+    idx = tmp_path / "uk_idx"
+    _build_small(spark, idx, n=20)
+    bad = (
+        'using s.document.db set 999 "{\\"doc_id\\": 999, '
+        '\\"text\\": \\"zzz\\", \\"mystery_col\\": 5}";'
+    )
+    with pytest.raises(ValueError, match="mystery_col"):
+        replay_ns(spark, str(idx), bad)
+
+
+def test_dump_preserves_null_then_valued_columns(spark, tmp_path):
+    # to_json must keep null fields (ignoreNullFields=false): with
+    # chunk=1 the fresh index's schema comes from chunk 1 alone, and
+    # a column that is null there must still exist for chunk 2
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.query import SparkIndex
+
+    src, dst = tmp_path / "nv_src", tmp_path / "nv_dst"
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", None), (1, "gamma", "hammer")],
+        "doc_id long, text string, tool string",
+    )
+    IndexBuilder(str(src), exact_fields=["tool"]).build(docs)
+    ns = tmp_path / "nv.ns"
+    dump_ns(spark, str(src), str(ns))
+    # inside the quoted .ns payload the JSON's quotes are escaped
+    assert '\\"tool\\":null' in ns.read_text().replace(" ", "")
+
+    replay_ns(
+        spark, str(dst), ns.read_text(),
+        build_kwargs={"analyzed_fields": ["text"], "exact_fields": ["tool"]},
+        chunk=1,
+    )
+    si = SparkIndex(spark, str(dst))
+    assert [r["doc_id"] for r in si.term_docs("hammer", field="tool").collect()] == [1]

@@ -45,6 +45,25 @@ def rows_key(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def canon_type(t: str) -> str:
+    """Canonical type-class (int/float/str/bool/ts) — name-only
+    matching would hide a string '42' vs BIGINT 42 divergence that
+    stringified values compare equal.  Shared with the pytest twin
+    gates (tests/test_extra_gates.py) so the two evidence paths can
+    never apply different comparisons."""
+    t = t.lower()
+    for cls, keys in (
+        ("int", ("tinyint", "smallint", "int", "bigint", "long", "hugeint")),
+        ("float", ("float", "double", "real", "decimal")),
+        ("bool", ("bool",)),
+        ("ts", ("timestamp", "date")),
+        ("str", ("string", "varchar", "char", "text")),
+    ):
+        if any(k in t for k in keys):
+            return cls
+    return t
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--no-extras"]
     with_extras = "--no-extras" not in sys.argv[1:]
@@ -100,25 +119,9 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         else:
-            # canonical type-class comparison (int/float/str/bool/ts)
-            # — name-only matching would hide a string '42' vs BIGINT
-            # 42 divergence that stringified values compare equal
-            def canon(t: str) -> str:
-                t = t.lower()
-                for cls, keys in (
-                    ("int", ("tinyint", "smallint", "int", "bigint", "long", "hugeint")),
-                    ("float", ("float", "double", "real", "decimal")),
-                    ("bool", ("bool",)),
-                    ("ts", ("timestamp", "date")),
-                    ("str", ("string", "varchar", "char", "text")),
-                ):
-                    if any(k in t for k in keys):
-                        return cls
-                return t
-
-            stypes = {c.lower(): canon(t) for c, t in sdf.dtypes}
+            stypes = {c.lower(): canon_type(t) for c, t in sdf.dtypes}
             otypes = {
-                c.lower(): canon(str(t))
+                c.lower(): canon_type(str(t))
                 for c, t in zip(rel.columns, rel.types)
             }
             mismatch = {
