@@ -213,11 +213,15 @@ def dump_ns(
 
     from .maintenance import _load_manifest, read_docs
 
-    if "." in name:
-        # parse_ns splits the using-target at the FIRST dot
-        # (parser_test.go:32-49) — a dotted name would make every
-        # statement's database 'x.document.db', which replay skips
-        raise ValueError(f"dump name must not contain '.': {name!r}")
+    # the using-target must lex as ONE word token whose first dot
+    # starts the database part (parser_test.go:32-49): a dotted,
+    # spaced, or quoted name would produce a dump every statement of
+    # which is skipped or unparseable on replay
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_\-]*", name):
+        raise ValueError(
+            f"dump name must be a dot-free word ([A-Za-z_][A-Za-z0-9_-]*): "
+            f"{name!r}"
+        )
     for sub, why in (
         ("doc_len_extra", "streamed docs have no stored payload"),
         ("tf_delta", "uncompacted stream deltas pending"),
@@ -301,7 +305,19 @@ def _apply_sets(
             # late-appearing column; migration tooling, not hot path)
             known = set(schema.fieldNames())
             for js in last.values():
-                extra = set(json.loads(js)) - known
+                try:
+                    payload = json.loads(js)
+                except ValueError as e:
+                    raise ValueError(
+                        f"document.db set payload is not valid JSON: "
+                        f"{js[:80]!r} ({e})"
+                    ) from None
+                if not isinstance(payload, dict):
+                    raise ValueError(
+                        "document.db set payloads must be JSON objects "
+                        f"with doc_id, got: {js[:80]!r}"
+                    )
+                extra = set(payload) - known
                 if extra:
                     raise ValueError(
                         f"replay payload carries columns the index's "

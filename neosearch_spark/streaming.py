@@ -57,18 +57,12 @@ def stream_ingest(
         .parquet(input_dir)
     )
 
-    # resolve docs_span ONCE per stream, not once per micro-batch
-    # (the manifest is immutable between maintenance swaps; a stream
-    # started before any build keeps re-checking until it appears)
-    span_cache: list[int | None] = [None]
-
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        if span_cache[0] is None:
-            span_cache[0] = _manifest_docs_span(index_dir)
-        delta_sink(
-            batch, epoch_id, index_dir, analyzed_fields,
-            docs_span=span_cache[0],
-        )
+        # docs_span is re-read from the manifest every micro-batch
+        # (a tiny json read) — caching it across batches would let a
+        # mid-stream rebuild with a different span disarm the bounds
+        # guard below
+        delta_sink(batch, epoch_id, index_dir, analyzed_fields)
 
     return (
         src.writeStream.foreachBatch(sink)
@@ -79,13 +73,12 @@ def stream_ingest(
 
 
 def _manifest_docs_span(index_dir: str) -> int | None:
-    import json as _json
+    from .maintenance import _load_manifest
 
-    mp = os.path.join(index_dir, "manifest.json")
-    if not os.path.exists(mp):
+    try:
+        v = _load_manifest(index_dir).get("params", {}).get("docs_span")
+    except FileNotFoundError:
         return None
-    with open(mp) as f:
-        v = _json.load(f).get("params", {}).get("docs_span")
     return int(v) if v else None
 
 
@@ -101,10 +94,12 @@ def delta_sink(
     partition directory (an append would double every replayed
     posting's tf at the next compaction), and a crash between the two
     writes heals on replay because both directories are rewritten
-    whole.
+    whole — and until that replay happens, ``compact_deltas`` folds
+    only epochs whose tf side committed (doc_len first, tf last), so
+    the incomplete half can never be double-counted.
 
     ``docs_span``: pass the manifest's value to skip the per-batch
-    manifest read (``stream_ingest`` resolves it once per stream)."""
+    manifest read when the caller already holds a FRESH manifest."""
     from pyspark.sql import Observation
 
     from .build import validate_doc_id_bounds
@@ -201,12 +196,48 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     span = int(p["span"])
     boundaries = p.get("bucket_boundaries", [])
 
-    delta_dir = os.path.join(index_dir, "tf_delta")
-    if not os.path.exists(delta_dir):
+    tf_dir = os.path.join(index_dir, "tf_delta")
+    dl_dir = os.path.join(index_dir, "doc_len_delta")
+
+    # fold only epochs COMPLETE in both tables.  delta_sink writes
+    # doc_len (rename-published, whole when present) then tf
+    # (_SUCCESS-marked), so a crash between the two leaves a doc_len
+    # epoch with no committed tf twin — folding that half would
+    # double-count stats when the stream later replays the epoch.
+    # Incomplete epochs stay on disk untouched: foreachBatch replay
+    # overwrites them whole (their batch never committed to the
+    # stream checkpoint).
+    def _committed(p: str) -> bool:
+        # job-commit evidence: the _SUCCESS marker, or (for configs
+        # that disable markers) data files with the _temporary
+        # staging dir gone — a crashed job leaves _temporary behind
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return True
+        if os.path.exists(os.path.join(p, "_temporary")):
+            return False
+        return any(f.endswith(".parquet") for f in os.listdir(p))
+
+    def _epochs(d: str, need_commit: bool) -> set[str]:
+        if not os.path.isdir(d):
+            return set()
+        return {
+            e
+            for e in os.listdir(d)
+            if e.startswith("epoch=")
+            and (not need_commit or _committed(os.path.join(d, e)))
+        }
+
+    complete = sorted(_epochs(tf_dir, True) & _epochs(dl_dir, False))
+    if not complete:
         return 0
-    tf_delta = spark.read.parquet(delta_dir).drop("epoch")
+    tf_delta = (
+        spark.read.option("basePath", tf_dir)
+        .parquet(*[os.path.join(tf_dir, e) for e in complete])
+        .drop("epoch")
+    )
     dl_delta = (
-        spark.read.parquet(os.path.join(index_dir, "doc_len_delta"))
+        spark.read.option("basePath", dl_dir)
+        .parquet(*[os.path.join(dl_dir, e) for e in complete])
         .drop("epoch")
         .dropDuplicates(["doc_id"])
         .persist()
@@ -298,9 +329,13 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     # removal would otherwise leave a clean-looking index whose next
     # compaction re-applies the same deltas (doubled tf, double-
     # counted stats); inside the swap, that crash leaves a torn index
-    # that refuses to open until restored
-    pairs.append(("tf_delta", os.path.join(index_dir, "_no_such_tmp")))
-    pairs.append(("doc_len_delta", os.path.join(index_dir, "_no_such_tmp")))
+    # that refuses to open until restored.  Only the epochs THIS
+    # compaction folded are removed — an incomplete pair stays for
+    # the stream's replay to finish.
+    no_tmp = os.path.join(index_dir, "_no_such_tmp")
+    for e in complete:
+        pairs.append((f"tf_delta/{e}", no_tmp))
+        pairs.append((f"doc_len_delta/{e}", no_tmp))
 
     # all outputs materialized — swap under a manifest tombstone so a
     # crash mid-swap leaves an index that refuses to open rather than
@@ -314,6 +349,13 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     )
     for t in ("blocks_tmp", "terms_tmp", "doc_len_extra_tmp"):
         shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
+    # drop now-empty delta parents (incomplete epochs, if any, keep
+    # theirs alive for the stream's replay)
+    for t in (tf_dir, dl_dir):
+        try:
+            os.rmdir(t)
+        except OSError:
+            pass
     return n_touched
 
 

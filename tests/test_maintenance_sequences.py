@@ -36,14 +36,13 @@ def _logical(spark, d):
 
 
 def _append_delta(spark, d, rows):
-    """Emulate one stream_ingest micro-batch (its exact sink schema)."""
+    """One stream_ingest micro-batch through the REAL sink (epoch=N
+    partition dirs; compaction folds only complete epoch pairs, so a
+    hand-rolled layout would silently diverge from production)."""
+    from neosearch_spark.streaming import delta_sink
+
     batch = spark.createDataFrame(rows, "doc_id long, text string")
-    _tf_stream(batch, ["text"], []).withColumn("epoch", F.lit(0)).write.mode(
-        "append"
-    ).parquet(os.path.join(d, "tf_delta"))
-    batch.select("doc_id", doc_len_col(F.col("text")).alias("dl")).withColumn(
-        "epoch", F.lit(0)
-    ).write.mode("append").parquet(os.path.join(d, "doc_len_delta"))
+    delta_sink(batch, 0, d, ["text"])
 
 
 def _run_sequence(spark, tmp_path, seq_seed: int, n_steps: int):

@@ -238,7 +238,7 @@ def test_cli_dump_replay_subcommands(spark, tmp_path, capsys):
 
 
 def test_dump_rejects_dotted_name(tmp_path):
-    with pytest.raises(ValueError, match="must not contain"):
+    with pytest.raises(ValueError, match="dot-free word"):
         dump_ns(None, str(tmp_path), str(tmp_path / "o.ns"), name="my.index")
 
 

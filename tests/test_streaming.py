@@ -330,3 +330,47 @@ def test_compact_crash_cannot_reapply_deltas(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="span override"):
         compact_deltas(spark, d, span=32)
+
+
+def test_compact_skips_incomplete_epoch_pair(spark, tmp_path):
+    # delta_sink order is doc_len (rename-published) then tf
+    # (job-committed): a crash between them leaves a doc_len epoch
+    # with no tf twin.  Compaction must fold only COMPLETE pairs,
+    # leave the orphan on disk for stream replay, and count stats
+    # from the folded epochs alone.
+    import json as _json
+
+    from neosearch_spark.streaming import compact_deltas, delta_sink
+
+    d = str(tmp_path / "inc_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 60, seed=5))
+    IndexBuilder(d, span=64).build(docs.where(F.col("doc_id") < 40))
+
+    new0 = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+    delta_sink(new0, 0, d, ["text"])
+    # simulate the crash: epoch 1 publishes doc_len but never writes tf
+    orphan = docs.where(F.col("doc_id") >= 50)
+    from neosearch_spark.streaming import doc_len_col
+
+    orphan.select(
+        "doc_id", doc_len_col(F.col("text")).alias("dl")
+    ).write.mode("overwrite").parquet(
+        os.path.join(d, "doc_len_delta", "epoch=1")
+    )
+
+    assert compact_deltas(spark, d) > 0
+    # the orphan epoch survives untouched; the folded one is gone
+    assert os.path.isdir(os.path.join(d, "doc_len_delta", "epoch=1"))
+    assert not os.path.exists(os.path.join(d, "doc_len_delta", "epoch=0"))
+    assert not os.path.exists(os.path.join(d, "tf_delta", "epoch=0"))
+    # stats counted epoch 0's 10 docs only (not the orphan's 10)
+    import pyspark.sql.functions as _F
+
+    stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+    assert stats["n_docs"] == 50
+
+    # replay finishes the epoch; the next compaction folds it
+    delta_sink(orphan, 1, d, ["text"])
+    assert compact_deltas(spark, d) > 0
+    stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+    assert stats["n_docs"] == 60
