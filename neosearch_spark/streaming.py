@@ -230,13 +230,18 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     complete = sorted(_epochs(tf_dir, True) & _epochs(dl_dir, False))
     if not complete:
         return 0
+    # explicit schemas (delta_sink's exact output types): a committed
+    # epoch may be FILE-LESS (empty micro-batch, or all-empty texts on
+    # the tf side) and schema inference dies on file-less dirs
     tf_delta = (
-        spark.read.option("basePath", tf_dir)
+        spark.read.schema("field string, term string, doc_id long, dl int, tf long")
+        .option("basePath", tf_dir)
         .parquet(*[os.path.join(tf_dir, e) for e in complete])
         .drop("epoch")
     )
     dl_delta = (
-        spark.read.option("basePath", dl_dir)
+        spark.read.schema("doc_id long, dl int")
+        .option("basePath", dl_dir)
         .parquet(*[os.path.join(dl_dir, e) for e in complete])
         .drop("epoch")
         .dropDuplicates(["doc_id"])

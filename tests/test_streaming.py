@@ -374,3 +374,19 @@ def test_compact_skips_incomplete_epoch_pair(spark, tmp_path):
     assert compact_deltas(spark, d) > 0
     stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
     assert stats["n_docs"] == 60
+
+
+def test_compact_handles_empty_epoch(spark, tmp_path):
+    # an empty micro-batch commits file-less epoch dirs; compaction
+    # must fold (nothing) and clean them rather than dying on
+    # schema inference over a file-less directory
+    from neosearch_spark.streaming import compact_deltas, delta_sink
+
+    d = str(tmp_path / "empty_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 30, seed=8))
+    IndexBuilder(d, span=64).build(docs.where(F.col("doc_id") < 20))
+    delta_sink(docs.where(F.col("doc_id") < 0), 0, d, ["text"])   # empty
+    delta_sink(docs.where(F.col("doc_id") >= 20), 1, d, ["text"])  # 10 docs
+    compact_deltas(spark, d)
+    assert SparkIndex(spark, d).n_docs == 30
+    assert not os.path.exists(os.path.join(d, "tf_delta"))
