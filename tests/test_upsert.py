@@ -184,28 +184,20 @@ def test_upsert_folds_pending_deltas_first(spark, tmp_path):
     deltas before replacing."""
     import os
 
-    from neosearch_spark.build import _tf_stream
-    from neosearch_spark.analyzer import doc_len_col
+    from neosearch_spark.streaming import delta_sink
 
     docs = assign_doc_ids(synth_transcripts(spark, 200, seed=8)).cache()
     n = docs.count()
     d = str(tmp_path / "up_delta")
     IndexBuilder(d, span=64).build(docs)
 
-    # hand-write a delta batch for two new streamed docs (the
-    # stream_ingest sink's exact schema)
+    # a delta batch for two new streamed docs through the REAL sink
+    # (epoch=N dirs; compaction folds only complete epoch pairs)
     delta = spark.createDataFrame(
         [(n, "streamed stale tok1"), (n + 1, "streamed keepme tok2")],
         "doc_id long, text string",
     )
-    _tf_stream(delta, ["text"], []).withColumn("epoch", F.lit(0)).write.mode(
-        "append"
-    ).parquet(os.path.join(d, "tf_delta"))
-    delta.select(
-        "doc_id", doc_len_col(F.col("text")).alias("dl")
-    ).withColumn("epoch", F.lit(0)).write.mode("append").parquet(
-        os.path.join(d, "doc_len_delta")
-    )
+    delta_sink(delta, 0, d, ["text"])
 
     # replace the first streamed doc before any explicit compaction
     batch = (
