@@ -654,10 +654,14 @@ def upsert_docs(
     contract as ``delete_docs``).
 
     ``new_docs`` must carry ``doc_id`` plus the same field columns
-    the index was built from.  Pending streaming deltas are folded in
-    first (upsert is defined on a compacted index — a replaced id
-    hiding in ``tf_delta`` would otherwise resurrect at the next
-    compaction).  Returns counters {n_upserted, n_replaced,
+    the index was built from.  Pending COMMITTED streaming deltas are
+    folded in first (upsert is defined on a compacted index — a
+    replaced id hiding in ``tf_delta`` would otherwise resurrect at
+    the next compaction).  That guarantee covers what is durable on
+    disk; an epoch still unacknowledged in a LIVE stream's checkpoint
+    can replay after this upsert and re-apply its old content — run
+    maintenance with the stream drained (single-writer contract, see
+    ``streaming.delta_sink``).  Returns counters {n_upserted, n_replaced,
     touched_spans, n_blocks_touched, touched_buckets,
     touched_doc_parts}."""
     with writer_lock(index_dir):

@@ -96,7 +96,13 @@ def delta_sink(
     writes heals on replay because both directories are rewritten
     whole — and until that replay happens, ``compact_deltas`` folds
     only epochs whose tf side committed (doc_len first, tf last), so
-    the incomplete half can never be double-counted.
+    the incomplete half can never be double-counted; its janitor then
+    clears the leftover (the replay rewrites it whole anyway).
+
+    Ordering hazard (reference single-writer semantics): run
+    maintenance (upsert/delete/merge) only with the stream DRAINED —
+    an epoch replayed after a maintenance op re-applies its batch's
+    old content on top of the maintained index.
 
     ``docs_span``: pass the manifest's value to skip the per-batch
     manifest read when the caller already holds a FRESH manifest."""
@@ -204,9 +210,9 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     # (_SUCCESS-marked), so a crash between the two leaves a doc_len
     # epoch with no committed tf twin — folding that half would
     # double-count stats when the stream later replays the epoch.
-    # Incomplete epochs stay on disk untouched: foreachBatch replay
-    # overwrites them whole (their batch never committed to the
-    # stream checkpoint).
+    # Incomplete leftovers are cleared by the janitor after the swap
+    # (their batch never committed to the stream checkpoint, so a
+    # restarted stream replays and rewrites them whole).
     def _committed(p: str) -> bool:
         # job-commit evidence: the _SUCCESS marker, or (for configs
         # that disable markers) data files with the _temporary
@@ -227,8 +233,31 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
             and (not need_commit or _committed(os.path.join(d, e)))
         }
 
+    def _janitor() -> None:
+        # anything in the delta dirs that is NOT a complete epoch pair
+        # is an uncommitted leftover — a crashed sink's .tmp_epoch_*
+        # staging dir, a half-written pair, a markers-off file-less
+        # dir.  Its batch never committed to the stream checkpoint
+        # (delta_sink raises/crashes before returning), so a restarted
+        # stream REPLAYS and rewrites it whole; left behind it would
+        # wedge dump_ns ("pending deltas") forever when no replay ever
+        # comes.  (Same contract as always: no live sink while
+        # maintenance holds the writer lock.)
+        fresh = _epochs(tf_dir, True) & _epochs(dl_dir, False)
+        for root in (tf_dir, dl_dir):
+            if not os.path.isdir(root):
+                continue
+            for e in os.listdir(root):
+                if e not in fresh:
+                    shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+
     complete = sorted(_epochs(tf_dir, True) & _epochs(dl_dir, False))
     if not complete:
+        _janitor()
         return 0
     # explicit schemas (delta_sink's exact output types): a committed
     # epoch may be FILE-LESS (empty micro-batch, or all-empty texts on
@@ -335,8 +364,8 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     # compaction re-applies the same deltas (doubled tf, double-
     # counted stats); inside the swap, that crash leaves a torn index
     # that refuses to open until restored.  Only the epochs THIS
-    # compaction folded are removed — an incomplete pair stays for
-    # the stream's replay to finish.
+    # compaction folded ride the swap; leftovers are the post-swap
+    # janitor's job (below).
     no_tmp = os.path.join(index_dir, "_no_such_tmp")
     for e in complete:
         pairs.append((f"tf_delta/{e}", no_tmp))
@@ -354,13 +383,9 @@ def _compact_deltas_locked(spark: SparkSession, index_dir: str, span: int | None
     )
     for t in ("blocks_tmp", "terms_tmp", "doc_len_extra_tmp"):
         shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
-    # drop now-empty delta parents (incomplete epochs, if any, keep
-    # theirs alive for the stream's replay)
-    for t in (tf_dir, dl_dir):
-        try:
-            os.rmdir(t)
-        except OSError:
-            pass
+    # a pair completed since the fold snapshot survives the janitor
+    # for the next compaction; everything else uncommitted is cleared
+    _janitor()
     return n_touched
 
 

@@ -335,9 +335,11 @@ def test_compact_crash_cannot_reapply_deltas(spark, tmp_path):
 def test_compact_skips_incomplete_epoch_pair(spark, tmp_path):
     # delta_sink order is doc_len (rename-published) then tf
     # (job-committed): a crash between them leaves a doc_len epoch
-    # with no tf twin.  Compaction must fold only COMPLETE pairs,
-    # leave the orphan on disk for stream replay, and count stats
-    # from the folded epochs alone.
+    # with no tf twin.  Compaction must fold only COMPLETE pairs —
+    # counting stats from those alone — and its janitor clears the
+    # orphan (its batch never committed to the stream checkpoint, so
+    # a replay rewrites it whole; left behind it would wedge dump_ns
+    # on "pending deltas" forever).
     import json as _json
 
     from neosearch_spark.streaming import compact_deltas, delta_sink
@@ -359,17 +361,15 @@ def test_compact_skips_incomplete_epoch_pair(spark, tmp_path):
     )
 
     assert compact_deltas(spark, d) > 0
-    # the orphan epoch survives untouched; the folded one is gone
-    assert os.path.isdir(os.path.join(d, "doc_len_delta", "epoch=1"))
-    assert not os.path.exists(os.path.join(d, "doc_len_delta", "epoch=0"))
-    assert not os.path.exists(os.path.join(d, "tf_delta", "epoch=0"))
-    # stats counted epoch 0's 10 docs only (not the orphan's 10)
-    import pyspark.sql.functions as _F
-
+    # the orphan half never reached stats, and the janitor cleared it
+    # along with the folded pair — dump_ns is not wedged
+    assert not os.path.exists(os.path.join(d, "doc_len_delta"))
+    assert not os.path.exists(os.path.join(d, "tf_delta"))
     stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
     assert stats["n_docs"] == 50
 
-    # replay finishes the epoch; the next compaction folds it
+    # the stream's replay rewrites the epoch whole; the next
+    # compaction folds it exactly once
     delta_sink(orphan, 1, d, ["text"])
     assert compact_deltas(spark, d) > 0
     stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
@@ -390,3 +390,30 @@ def test_compact_handles_empty_epoch(spark, tmp_path):
     compact_deltas(spark, d)
     assert SparkIndex(spark, d).n_docs == 30
     assert not os.path.exists(os.path.join(d, "tf_delta"))
+
+
+def test_compact_clears_stale_tmp_and_dump_unwedges(spark, tmp_path):
+    # a sink killed mid doc_len staging leaves .tmp_epoch_* with
+    # parquet inside (and maybe a half-written pair); the janitor
+    # must clear them — even when there is NOTHING to fold — so
+    # dump_ns stops refusing with "pending deltas"
+    from neosearch_spark.analyzer import doc_len_col
+    from neosearch_spark.nscript import dump_ns
+    from neosearch_spark.streaming import compact_deltas
+
+    d = str(tmp_path / "tmp_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 20, seed=4))
+    IndexBuilder(d, span=64).build(docs)
+    stale = os.path.join(d, "doc_len_delta", ".tmp_epoch_9")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    # plus an orphan half pair (doc_len published, tf never written)
+    docs.limit(3).select(
+        "doc_id", doc_len_col(F.col("text")).alias("dl")
+    ).write.parquet(os.path.join(d, "doc_len_delta", "epoch=0"))
+
+    assert compact_deltas(spark, d) == 0  # nothing foldable
+    assert not os.path.exists(os.path.join(d, "doc_len_delta"))
+    n = dump_ns(spark, d, str(tmp_path / "ok.ns"))
+    assert n == 20

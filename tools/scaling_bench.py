@@ -320,12 +320,27 @@ def main() -> None:
         "eff": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(hist_path, "a") as f:
-        f.write(json.dumps(this_window) + "\n")
-    with open(hist_path) as f:
-        windows = [json.loads(x) for x in f if x.strip()]
-    cross_hi = max(w["hi"] for w in windows)
-    cross_lo = max(w["lo"] for w in windows)
+    # a --replay re-renders the report from banked trials — appending
+    # there would fabricate phantom windows in the durable history
+    already = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            already = [json.loads(x) for x in f if x.strip()]
+    dup = any(
+        w["lo"] == this_window["lo"] and w["hi"] == this_window["hi"]
+        and w["n_turns"] == this_window["n_turns"]
+        for w in already
+    )
+    if not replay and not dup:
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(this_window) + "\n")
+        already.append(this_window)
+    windows = already or [this_window]
+    # cross-window stats only over SAME-SIZE runs — a 3M-turn window's
+    # per-level bests are not comparable to a 6M-turn window's
+    comp = [w for w in windows if w["n_turns"] == n_turns] or [this_window]
+    cross_hi = max(w["hi"] for w in comp)
+    cross_lo = max(w["lo"] for w in comp)
     cross_eff = (cross_hi / ratio) / cross_lo
     win_rows = "\n".join(
         f"| {w['ts']} | {w['n_turns']:,} | {w['lo']:,} | {w['hi']:,} "
@@ -339,7 +354,8 @@ def main() -> None:
 |---|---|---|---|---|
 {win_rows}
 
-Cross-window best-per-level: {cross_hi:,} / (4 × {cross_lo:,}) =
+Cross-window best-per-level ({n_turns:,}-turn windows only):
+{cross_hi:,} / (4 × {cross_lo:,}) =
 **{cross_eff:.3f}** ({'met' if cross_eff >= 0.8 else 'not met'}).  The
 within-window figure above is the strict same-conditions measurement;
 the cross-window figure shows what each level sustains when the host
