@@ -92,11 +92,21 @@ def main() -> None:
             except Exception:
                 pass
 
+    # every reported timing is the MIN OF 2 runs (r4 protocol): the
+    # box is shared and the first execution of a plan shape pays
+    # one-off JIT/codegen/AQE costs that are not the engine's cost —
+    # same best-of-N convention as the scaling windows in
+    # BENCH/BASELINE.md.  "value" stays harness wall-clock (it now
+    # INCLUDES the repeats; see "protocol" in the output JSON).
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _run_df(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _run_df(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # ---- index build throughput (north_rule half 1) ----
     from neosearch_spark.build import IndexBuilder
@@ -128,11 +138,14 @@ def main() -> None:
     )
 
     idx_dir = f"{scratch}/bench_index"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    docs = assign_doc_ids(spark.read.parquet(corpus_dir))
-    IndexBuilder(idx_dir, exact_fields=["role", "tool"]).build(docs)
-    build_sec = time.time() - t0
+    build_sec = None
+    for _ in range(2):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        docs = assign_doc_ids(spark.read.parquet(corpus_dir))
+        IndexBuilder(idx_dir, exact_fields=["role", "tool"]).build(docs)
+        dt = time.time() - t0
+        build_sec = dt if build_sec is None else min(build_sec, dt)
     turns_per_sec = BUILD_TURNS / build_sec
     timings["index_build"] = round(build_sec, 3)
 
@@ -144,22 +157,34 @@ def main() -> None:
         si.bm25_topk(q, 10).collect()
     index_query_sec = {}
     for i, q in enumerate(BM25_BENCH_QUERIES):
-        t0 = time.time()
-        si.bm25_topk(q, 10).collect()
-        index_query_sec[f"bm25_q{i}"] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            si.bm25_topk(q, 10).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        index_query_sec[f"bm25_q{i}"] = round(best, 3)
         timings[f"idx_bm25_q{i}"] = index_query_sec[f"bm25_q{i}"]
     # batch serving path: the same 3 queries in ONE Spark job
     # (bm25_topk_batch) — the per-job overhead amortization that the
     # per-query numbers above cannot show
     si.bm25_topk_batch(BM25_BENCH_QUERIES, 10).collect()  # warm
-    t0 = time.time()
-    si.bm25_topk_batch(BM25_BENCH_QUERIES, 10).collect()
-    timings["idx_bm25_batch3"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        si.bm25_topk_batch(BM25_BENCH_QUERIES, 10).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["idx_bm25_batch3"] = round(best, 3)
     index_query_sec["bm25_batch3"] = timings["idx_bm25_batch3"]
 
-    t0 = time.time()
-    si.term_docs("tok1").count()
-    timings["idx_term"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        si.term_docs("tok1").count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["idx_term"] = round(best, 3)
 
     total = round(time.time() - t_start, 3)
     print(
@@ -168,6 +193,12 @@ def main() -> None:
                 "metric": "bench_suite_total",
                 "value": total,
                 "unit": "sec",
+                "protocol": (
+                    "per-query/build timings = min of 2 runs (r4); "
+                    "value = harness wall-clock INCLUDING repeats "
+                    "(not comparable to r1-r3 totals; sum the "
+                    "queries dict for a like-for-like suite cost)"
+                ),
                 "queries": timings,
                 "sf": sf,
                 "build_turns": BUILD_TURNS,
