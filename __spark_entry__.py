@@ -410,16 +410,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def ann_ivf_topk(s, d):
+        # full-probe gate (nprobe = n_centroids): every inverted list is
+        # probed, so the result is provably ≡ exact cosine top-k — the
+        # whole IVF machinery (train, assign, list filter) runs under a
+        # deterministic oracle.  The approximate path (nprobe < n_lists)
+        # keeps its pytest recall measurement (tests/test_ann.py).
         import numpy as np
 
         emb = _emb(s, d)
-        row = emb.where(F.col("vec_id") == 0).collect()[0]
+        row = emb.where(F.col("vec_id") == 5).collect()[0]
         qv = np.array(row["embedding"], dtype=np.float64)
         cents = ann.ivf_train_centroids(
             emb, n_centroids=4, n_iters=2, dim=len(qv)
         )
         return ann.ivf_topk(
-            emb.where(F.col("vec_id") != 0), qv, cents, k=10, nprobe=2
+            emb.where(F.col("vec_id") != 5), qv, cents, k=10, nprobe=4
         )
 
     q["ann_ivf_topk"] = ann_ivf_topk
@@ -855,6 +860,14 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
 FROM e, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+    # full-probe IVF ≡ exact brute-force top-k (see queries()); the
+    # oracle is therefore the plain cosine top-k over the same corpus
+    o["ann_ivf_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 5)
+SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+FROM e, q WHERE vec_id <> 5
 ORDER BY cosine DESC, vec_id LIMIT 10"""
     o["ann_knn_queries"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -503,6 +503,16 @@ class SparkIndex:
     # are unique across spans so the selection is deterministic)
     EXHAUSTIVE_COLLECT_MAX_BLOCKS = 4096
 
+    # the WAND survivors job likewise yields ≤k candidate rows per
+    # surviving span; a low-θ query (all-stopword over 10^12 docs ≈
+    # 7.6 M spans) could leave nearly every span a survivor, so past
+    # this many survivors the boot+rest merge goes through the same
+    # distributed TakeOrdered as the exhaustive fallback — the driver
+    # then receives ≤ n_boot·k (boot) + k (rest) rows at ANY corpus
+    # size.  Same selection semantics: (score desc, doc_id asc) is a
+    # total order because doc_ids are unique across spans.
+    SURVIVOR_COLLECT_MAX_SPANS = 4096
+
     _PAYLOAD_COLS = [
         "term", "span_id", "first_doc", "n_docs", "max_tf_norm",
         "enc_avgdl", "docs_enc", "tfs_enc", "dls_enc",
@@ -691,6 +701,18 @@ class SparkIndex:
                 [(int(r["doc_id"]), float(r["score"])) for r in rows]
             )
 
+        def rest_topk_rows(scored: DataFrame) -> list:
+            # distributed TakeOrdered over the survivors' candidates:
+            # the rest contributes at most its own global top-k to the
+            # final answer, so collecting exactly those k rows is
+            # selection-identical to collecting every ≤k-per-span
+            # candidate (scores themselves are untouched)
+            return (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+
         def merge_exhaustive() -> DataFrame:
             # full scoring of every span (pruning off / boot under-
             # filled).  Small queries collect the ≤k-per-span
@@ -739,13 +761,17 @@ class SparkIndex:
                     for s, b in ub.items()
                     if b >= theta and s not in set(boot_spans)
                 ]
-                rest_rows = (
-                    self._score_spans(
+                if not survivors:
+                    rest_rows = []
+                else:
+                    rest_scored = self._score_spans(
                         self._span_filter(blocks_q, survivors), qterms, idf, k
-                    ).collect()
-                    if survivors
-                    else []
-                )
+                    )
+                    rest_rows = (
+                        rest_topk_rows(rest_scored)
+                        if len(survivors) > self.SURVIVOR_COLLECT_MAX_SPANS
+                        else rest_scored.collect()
+                    )
                 return merge_topk(list(boot_rows) + list(rest_rows))
             return merge_exhaustive()
 
@@ -785,9 +811,15 @@ class SparkIndex:
                     (F.col("ub") >= theta)
                     & ~F.col("span_id").isin(boot_spans)
                 ).select("span_id")
-                rest_rows = self._score_spans(
-                    blocks_q.join(survivors_df, "span_id"), qterms, idf, k
-                ).collect()
+                # this branch only runs when the query's metadata
+                # exceeded META_COLLECT_CAP (~260 G postings), so the
+                # survivor count is unknowable driver-side and must be
+                # assumed huge — always merge distributed (≤k rows)
+                rest_rows = rest_topk_rows(
+                    self._score_spans(
+                        blocks_q.join(survivors_df, "span_id"), qterms, idf, k
+                    )
+                )
                 return merge_topk(list(boot_rows) + list(rest_rows))
             return merge_exhaustive()
 

@@ -178,6 +178,82 @@ def test_many_span_survivors_broadcast_join(corpus, monkeypatch):
     assert "span_id IN" not in plan.replace("#", " ")
 
 
+def test_survivor_merge_distributed_and_bounded(spark, tmp_path, monkeypatch):
+    """A low-θ query can leave nearly every span a WAND survivor
+    (all-stopword query over 10^12 docs ≈ 7.6 M spans, ×k candidate
+    rows each): past SURVIVOR_COLLECT_MAX_SPANS the boot+rest merge
+    must run the same distributed TakeOrdered as the exhaustive
+    fallback, so direct driver receipt stays ≤ n_boot·k (boot) + k
+    (rest) rows — and results stay rank-identical."""
+    docs = assign_doc_ids(synth_transcripts(spark, N_TURNS, seed=11))
+    d = str(tmp_path / "surv_idx")
+    IndexBuilder(d, span=8).build(docs)  # 600 docs / span 8 → ~75 spans
+    si = SparkIndex(spark, d)
+    q, k = "tok1 tok2", 10
+    n_boot = max(1, (k * 2 + si.span - 1) // si.span, 4)
+
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=False, mode="distributed").collect()
+    ]
+
+    # spy: count every DIRECT collect() of a _score_spans result —
+    # boot rows always; the survivors' candidates only when the
+    # driver-side merge is taken (the distributed merge derives an
+    # orderBy+limit DataFrame, so its collect is not counted here)
+    sizes: list[int] = []
+    orig_score_spans = type(si)._score_spans
+
+    def spy(self, blocks, qterms, idf, kk):
+        df = orig_score_spans(self, blocks, qterms, idf, kk)
+        inner = df.collect
+
+        def counted():
+            rows = inner()
+            sizes.append(len(rows))
+            return rows
+
+        df.collect = counted
+        return df
+
+    monkeypatch.setattr(type(si), "_score_spans", spy)
+
+    # phase 1 — default cap: survivors exist and ARE collected
+    # driver-side (boot + rest = two direct collects)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=True, mode="distributed").collect()
+    ]
+    assert got == exhaustive
+    assert len(sizes) == 2, f"expected boot+rest collects, saw {sizes}"
+    assert sizes[1] > 0, "test premise: the query must have survivors"
+
+    # phase 2 — cap forced to 0: the rest merge goes distributed; the
+    # only direct collect left is the boot (≤ n_boot·k rows), and the
+    # distributed rest is limit(k) by construction
+    monkeypatch.setattr(type(si), "SURVIVOR_COLLECT_MAX_SPANS", 0)
+    sizes.clear()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=True, mode="distributed").collect()
+    ]
+    assert got == exhaustive
+    assert len(sizes) == 1, f"survivors must not collect driver-side: {sizes}"
+    assert sizes[0] <= n_boot * k
+
+    # phase 3 — META_COLLECT_CAP exceeded (distributed bound agg):
+    # the rest merge is ALWAYS distributed on that path
+    monkeypatch.setattr(type(si), "META_COLLECT_CAP", 1)
+    sizes.clear()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=True, mode="distributed").collect()
+    ]
+    assert got == exhaustive
+    assert len(sizes) == 1, f"survivors must not collect driver-side: {sizes}"
+    assert sizes[0] <= n_boot * k
+
+
 def test_batch_identical_to_per_query(corpus):
     """bm25_topk_batch must return row-for-row what the per-query
     path returns (same floats, same tie-breaks), including queries
