@@ -27,15 +27,28 @@ LANG_MARKERS = {
 def quality_stats(docs: DataFrame, field: str = "text", round_to: int = 6) -> DataFrame:
     """Per-doc quality features: token count, distinct tokens,
     type-token ratio, mean token length, stopword ratio, punctuation
-    char ratio, plus a composite quality score in [0,1]."""
-    toks = tokens_col(F.col(field))
-    nonempty = F.filter(toks, lambda t: t != "")
+    char ratio, plus a composite quality score in [0,1].
+
+    The tokenize+filter and normalize expressions are projected ONCE
+    in a first select and the features read them as columns: Spark's
+    subexpression elimination skips expressions containing lambda
+    variables, so the single-select shape recomputed the token array
+    for each of its 4 uses, and CollapseProject keeps the two-stage
+    shape split because the aliases are non-cheap and multiply
+    referenced.  A/B at sf0.1 (5k docs, local[32], min-of-3, noop
+    sink): single-select 1.03 s → two-stage 0.829 s, identical rows."""
+    base = docs.select(
+        "doc_id",
+        F.filter(tokens_col(F.col(field)), lambda t: t != "").alias("_toks"),
+        norm_col(F.col(field)).alias("_norm"),
+    )
+    nonempty = F.col("_toks")
     n_tok = F.size(nonempty).cast("long")
     n_dist = F.size(F.array_distinct(nonempty)).cast("long")
     total_len = F.aggregate(
         nonempty, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    norm = norm_col(F.col(field))
+    norm = F.col("_norm")
     n_chars = F.length(norm)
     n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -48,7 +61,7 @@ def quality_stats(docs: DataFrame, field: str = "text", round_to: int = 6) -> Da
     mean_len = F.when(n_tok > 0, total_len.cast("double") / n_tok).otherwise(0.0)
     # composite: favors lexical diversity, penalizes punctuation soup
     quality = ttr * (1.0 - punct_ratio)
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         n_dist.alias("n_distinct"),
@@ -78,8 +91,18 @@ def token_counts(docs: DataFrame, field: str = "text") -> DataFrame:
 def lang_id(docs: DataFrame, field: str = "text") -> DataFrame:
     """Stopword-marker language heuristic: score per language =
     marker hits in the token set; argmax with fixed language order
-    tie-break ('und' if no hits)."""
-    toks = F.array_distinct(tokens_col(F.col(field)))
+    tie-break ('und' if no hits).
+
+    Distinct-token array projected once, read per-language as a
+    column — same two-stage shape (and rationale) as
+    ``quality_stats``: lambda-bearing expressions are exempt from
+    Spark's subexpression elimination, so the single-select form
+    re-tokenized the doc once per language."""
+    docs = docs.select(
+        "doc_id",
+        F.array_distinct(tokens_col(F.col(field))).alias("_dtoks"),
+    )
+    toks = F.col("_dtoks")
     scores = []
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
