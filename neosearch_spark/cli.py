@@ -213,6 +213,42 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
+    """One serving request against a warm ``SparkIndex`` → response
+    dict — the transport-independent core shared by the stdin loop
+    (``serve_loop``) and the HTTP service (``httpserve``).  Request:
+    ``{"queries": [...], "k": N}``; response: ``{"batch": [...]}``.
+    Raises on malformed requests — the caller owns the error frame."""
+    queries = req["queries"]
+    # a bare string would iterate per CHARACTER below and "succeed"
+    # with one garbage result set per letter
+    if not isinstance(queries, list) or not queries or not all(
+        isinstance(q, str) for q in queries
+    ):
+        raise ValueError('"queries" must be a non-empty list of strings')
+    k = int(req.get("k", default_k))
+    if len(queries) == 1:
+        rows = [
+            {"doc_id": r["doc_id"], "score": r["score"]}
+            for r in idx.bm25_topk(queries[0], k=k).collect()
+        ]
+        return {"batch": [{"query": queries[0], "results": rows}]}
+    rows = idx.bm25_topk_batch(queries, k=k).collect()
+    return {
+        "batch": [
+            {
+                "query": queries[qi],
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in rows
+                    if r["query_id"] == qi
+                ],
+            }
+            for qi in range(len(queries))
+        ]
+    }
+
+
 def serve_loop(idx, lines, out, default_k: int = 10) -> int:
     """Long-lived serving loop against ONE warm ``SparkIndex`` — the
     executable twin of the reference's HTTP search service
@@ -234,35 +270,7 @@ def serve_loop(idx, lines, out, default_k: int = 10) -> int:
             continue
         try:
             req = json.loads(line) if line.startswith("{") else {"queries": [line]}
-            queries = req["queries"]
-            # a bare string would iterate per CHARACTER below and
-            # "succeed" with one garbage result set per letter
-            if not isinstance(queries, list) or not queries or not all(
-                isinstance(q, str) for q in queries
-            ):
-                raise ValueError('"queries" must be a non-empty list of strings')
-            k = int(req.get("k", default_k))
-            if len(queries) == 1:
-                rows = [
-                    {"doc_id": r["doc_id"], "score": r["score"]}
-                    for r in idx.bm25_topk(queries[0], k=k).collect()
-                ]
-                resp = {"batch": [{"query": queries[0], "results": rows}]}
-            else:
-                rows = idx.bm25_topk_batch(queries, k=k).collect()
-                resp = {
-                    "batch": [
-                        {
-                            "query": queries[qi],
-                            "results": [
-                                {"doc_id": r["doc_id"], "score": r["score"]}
-                                for r in rows
-                                if r["query_id"] == qi
-                            ],
-                        }
-                        for qi in range(len(queries))
-                    ]
-                }
+            resp = handle_search_request(idx, req, default_k=default_k)
         except Exception as e:  # noqa: BLE001 — a bad request must
             # not kill the serving process
             resp = {"error": str(e)}
@@ -278,6 +286,34 @@ def cmd_serve(args) -> int:
     idx = SparkIndex(spark, args.index, cache=args.cache)
     served = serve_loop(idx, sys.stdin, sys.stdout, default_k=args.k)
     print(json.dumps({"status": "served", "requests": served}), file=sys.stderr)
+    return 0
+
+
+def cmd_serve_http(args) -> int:
+    """HTTP serving (the reference's REST service,
+    ``service/neosearch/server/server.go``): indices are
+    subdirectories of ``--root``; routes in ``httpserve``."""
+    from .httpserve import serve_http
+
+    spark = _spark(args)
+    srv = serve_http(
+        spark, args.root, host=args.host, port=args.port, default_k=args.k
+    )
+    # bound address on stdout so clients of an ephemeral --port 0 can
+    # discover it (tests, launcher scripts)
+    print(
+        json.dumps(
+            {"status": "serving", "host": srv.server_address[0],
+             "port": srv.server_address[1], "root": args.root}
+        ),
+        flush=True,
+    )
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
     return 0
 
 
@@ -395,6 +431,19 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--cache", action="store_true",
                     help="pin blocks/terms in executor memory")
     sv.set_defaults(fn=cmd_serve)
+
+    sh = sub.add_parser(
+        "serve-http",
+        help="HTTP serving: reference REST routes (create/add/search/"
+        "get/delete) over indices under --root",
+    )
+    sh.add_argument("--root", required=True,
+                    help="data dir; index name = subdirectory")
+    sh.add_argument("--host", default="127.0.0.1")
+    sh.add_argument("--port", type=int, default=9090,
+                    help="0 binds an ephemeral port (printed on stdout)")
+    sh.add_argument("-k", type=int, default=10)
+    sh.set_defaults(fn=cmd_serve_http)
 
     dp = sub.add_parser("dump", help="write the replayable .ns command file")
     dp.add_argument("--index", required=True)

@@ -1,0 +1,351 @@
+"""HTTP transport for the serving loop — the framing the reference
+exposes over ``httprouter`` (``service/neosearch/server/server.go:
+39-57``), stdlib-only (``http.server``), wrapping the same warm-index
+request core the stdin loop uses (``cli.handle_search_request``).
+
+Routes (reference parity; response bodies mirror the reference
+handlers' JSON):
+
+    GET    /                   → {"status": "alive", "version": ...}
+                                 (home/home.go:24-30)
+    GET    /{index}            → index info (index/index.go)
+    PUT    /{index}            → create (index/create.go; body may
+                                 carry {"fields": [...],
+                                 "exact_fields": [...]})
+    DELETE /{index}            → delete index (index/delete.go)
+    POST   /{index}            → search (index/search.go):
+                                 {"query": {DSL}} → boolean-DSL doc
+                                 results {"total", "results"}, or the
+                                 stdin-loop body {"queries": [...],
+                                 "k": N} → BM25 {"batch": [...]}
+    GET    /{index}/{id}       → fetch one document (index/get.go)
+    POST   /{index}/{id}       → add/replace a document
+                                 (index/add.go; body = the doc JSON)
+
+Index names are subdirectories of the server's data root (the
+reference's ``DataDir``); names are validated with the reference's
+rule (``lib/neosearch/index/index.go:40-51``).  Open ``SparkIndex``
+handles are cached per index and invalidated on every mutation (add /
+delete), mirroring the open-handle caching at ``neosearch.go:
+170-206``.
+
+Like the reference, document creation is two-phase: ``PUT`` records
+the index (fields config), the first ``POST /{index}/{id}`` builds
+the physical index from the pending doc batch via the same
+``nscript._apply_sets`` path the ``.ns`` replay uses — one shared
+create/upsert implementation for all three ingestion surfaces (build
+CLI, replay, HTTP).
+
+Scale note: one HTTP process fronts ONE SparkSession; Spark schedules
+concurrent client requests as concurrent jobs (FIFO by default), and
+the per-term metadata memo in ``SparkIndex`` is shared across
+requests, so repeat terms cost a dict hit regardless of which client
+sent them.  A production deployment puts N of these behind a load
+balancer, each with its own session — the index itself is immutable
+parquet, shared storage-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# the reference's index-name rule (index.go:40-51): ≥3 chars, leading
+# letters, then letters/digits/_/-.  Enforced on every route so a
+# path can never escape the data root.
+_NAME_RE = re.compile(r"^[a-zA-Z]+[a-zA-Z0-9_-]+$")
+
+
+def validate_index_name(name: str) -> bool:
+    return len(name) >= 3 and bool(_NAME_RE.match(name))
+
+
+class NeoSearchHTTPServer(ThreadingHTTPServer):
+    """Threaded HTTP server holding the shared serving state: the
+    SparkSession, the data root, cached ``SparkIndex`` handles, and
+    the per-index pending create configs."""
+
+    daemon_threads = True
+
+    def __init__(self, spark, root: str, host: str = "127.0.0.1",
+                 port: int = 0, default_k: int = 10):
+        self.spark = spark
+        self.root = root
+        self.default_k = default_k
+        self.handles: dict[str, object] = {}
+        # mutations (create/add/delete) serialize behind one lock —
+        # searches stay concurrent; the maintenance layer's writer
+        # lock already guards cross-PROCESS writers, this guards
+        # cross-THREAD handle invalidation in this process
+        self.write_lock = threading.Lock()
+        os.makedirs(root, exist_ok=True)
+        super().__init__((host, port), _Handler)
+
+    # -- index registry ------------------------------------------------
+    def index_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        d = self.index_dir(name)
+        return os.path.exists(os.path.join(d, "manifest.json")) or os.path.exists(
+            os.path.join(d, "create.json")
+        )
+
+    def open(self, name: str):
+        """Cached SparkIndex handle (reopened after any mutation)."""
+        from .query import SparkIndex
+
+        h = self.handles.get(name)
+        if h is None:
+            h = SparkIndex(self.spark, self.index_dir(name))
+            self.handles[name] = h
+        return h
+
+    def invalidate(self, name: str) -> None:
+        self.handles.pop(name, None)
+
+    def build_kwargs(self, name: str) -> dict:
+        cfg_path = os.path.join(self.index_dir(name), "create.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            kw = {}
+            if cfg.get("fields"):
+                kw["analyzed_fields"] = cfg["fields"]
+            if cfg.get("exact_fields"):
+                kw["exact_fields"] = cfg["exact_fields"]
+            if not kw:
+                kw["infer"] = True
+            return kw
+        return {"infer": True}
+
+
+def _public_doc(row) -> dict:
+    """Stored doc row → response document: the build's derived
+    columns (doc length ``dl``, partition key ``doc_part``) are
+    engine internals the reference's get/search bodies don't carry."""
+    d = row.asDict(recursive=True)
+    d.pop("dl", None)
+    d.pop("doc_part", None)
+    return d
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # quiet by default: BaseHTTPRequestHandler logs every request to
+    # stderr, which garbles the JSON status stream the CLI prints
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    server: NeoSearchHTTPServer
+
+    # -- framing helpers -------------------------------------------------
+    def _send(self, obj: dict, status: int = 200) -> None:
+        body = json.dumps(obj, default=str).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
+        if not raw:
+            return {}
+        obj = json.loads(raw)
+        if not isinstance(obj, dict):
+            raise ValueError("request body must be a JSON object")
+        return obj
+
+    def _route(self) -> tuple[str, str | None]:
+        parts = [p for p in self.path.split("?", 1)[0].split("/") if p]
+        if len(parts) > 2:
+            raise ValueError(f"no such route: {self.path}")
+        name = parts[0] if parts else ""
+        doc_id = parts[1] if len(parts) == 2 else None
+        if name and not validate_index_name(name):
+            raise ValueError(f"Invalid index name: {name}")
+        return name, doc_id
+
+    def _missing(self, name: str) -> None:
+        # exact reference error body (search.go:38-44 et al.)
+        self._send({"error": f"Index '{name}' doesn't exists."})
+
+    # -- verbs -------------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802
+        try:
+            name, doc_id = self._route()
+        except ValueError as e:
+            self._send({"error": str(e)}, 400)
+            return
+        srv = self.server
+        if not name:
+            self._send({"status": "alive", "version": "neosearch_spark"})
+            return
+        if not srv.exists(name):
+            self._missing(name)
+            return
+        try:
+            if doc_id is None:
+                if not os.path.exists(
+                    os.path.join(srv.index_dir(name), "manifest.json")
+                ):
+                    self._send({"name": name, "status": "created", "n_docs": 0})
+                    return
+                idx = srv.open(name)
+                self._send(
+                    {
+                        "name": name,
+                        "n_docs": idx.n_docs,
+                        "avgdl": idx.avgdl,
+                        "fields": idx.manifest["params"].get("analyzed_fields"),
+                    }
+                )
+                return
+            try:
+                int_id = int(doc_id)
+            except ValueError:
+                self._send({"error": "Invalid document id"}, 400)
+                return
+            idx = srv.open(name)
+            rows = idx.get_docs(
+                srv.spark.createDataFrame([(int_id,)], "doc_id long")
+            ).collect()
+            if not rows:
+                self._send({"error": f"document {int_id} not found"}, 400)
+                return
+            self._send(_public_doc(rows[0]))
+        except Exception as e:  # noqa: BLE001 — a bad request must
+            # not kill the serving process (same contract as serve_loop)
+            self._send({"error": str(e)}, 400)
+
+    def do_PUT(self) -> None:  # noqa: N802
+        try:
+            name, doc_id = self._route()
+            if not name or doc_id is not None:
+                raise ValueError("create expects PUT /{index}")
+        except ValueError as e:
+            self._send({"error": str(e)}, 400)
+            return
+        srv = self.server
+        with srv.write_lock:
+            if srv.exists(name):
+                # exact reference error body (create.go:28-33)
+                self._send({"error": f"Index '{name}' already exists."})
+                return
+            try:
+                cfg = self._body()
+            except ValueError as e:
+                self._send({"error": str(e)}, 400)
+                return
+            os.makedirs(srv.index_dir(name), exist_ok=True)
+            with open(os.path.join(srv.index_dir(name), "create.json"), "w") as f:
+                json.dump(
+                    {
+                        "fields": cfg.get("fields"),
+                        "exact_fields": cfg.get("exact_fields"),
+                    },
+                    f,
+                )
+        # exact reference success body (create.go:57)
+        self._send({"status": f"Index '{name}' created."})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        try:
+            name, doc_id = self._route()
+            if not name or doc_id is not None:
+                raise ValueError("delete expects DELETE /{index}")
+        except ValueError as e:
+            self._send({"error": str(e)}, 400)
+            return
+        srv = self.server
+        with srv.write_lock:
+            if not srv.exists(name):
+                self._missing(name)
+                return
+            srv.invalidate(name)
+            shutil.rmtree(srv.index_dir(name))
+        self._send({"status": f"Index '{name}' deleted."})
+
+    def do_POST(self) -> None:  # noqa: N802
+        try:
+            name, doc_id = self._route()
+            if not name:
+                raise ValueError("search expects POST /{index}")
+            body = self._body()
+        except ValueError as e:
+            self._send({"error": str(e)}, 400)
+            return
+        srv = self.server
+        if not srv.exists(name):
+            self._missing(name)
+            return
+        try:
+            if doc_id is not None:
+                self._add_document(name, doc_id, body)
+                return
+            if "queries" in body:
+                # the stdin serving loop's body → BM25 batch response
+                from .cli import handle_search_request
+
+                self._send(
+                    handle_search_request(
+                        srv.open(name), body, default_k=srv.default_k
+                    )
+                )
+                return
+            if "query" not in body:
+                # exact reference error body (search.go:76-79)
+                self._send({"error": "No query field specified"}, 400)
+                return
+            if not isinstance(body["query"], dict):
+                self._send(
+                    {"error": "Search 'query' field is not a JSON object"}, 400
+                )
+                return
+            from .cli import _eval_dsl
+
+            idx = srv.open(name)
+            ids = _eval_dsl(idx, body["query"])
+            limit = int(body.get("limit", 10))
+            docs = [
+                _public_doc(r) for r in idx.get_docs(ids, limit=limit).collect()
+            ]
+            self._send({"total": ids.count(), "results": docs})
+        except Exception as e:  # noqa: BLE001
+            self._send({"error": str(e)}, 400)
+
+    def _add_document(self, name: str, doc_id: str, body: dict) -> None:
+        try:
+            int_id = int(doc_id)
+        except ValueError:
+            self._send({"error": "Invalid document id"}, 400)
+            return
+        from .nscript import _apply_sets
+
+        srv = self.server
+        doc = dict(body)
+        doc["doc_id"] = int_id
+        with srv.write_lock:
+            _apply_sets(
+                srv.spark,
+                srv.index_dir(name),
+                [(int_id, json.dumps(doc))],
+                srv.build_kwargs(name),
+            )
+            srv.invalidate(name)
+        # exact reference success body (add.go:77)
+        self._send({"status": f"Document {int_id} indexed."})
+
+
+def serve_http(spark, root: str, host: str = "127.0.0.1", port: int = 0,
+               default_k: int = 10) -> NeoSearchHTTPServer:
+    """Build (but don't run) the HTTP server — callers own the loop:
+    ``srv.serve_forever()`` blocking, or a daemon thread in tests.
+    ``port=0`` binds an ephemeral port (``srv.server_address[1]``)."""
+    return NeoSearchHTTPServer(spark, root, host=host, port=port,
+                               default_k=default_k)

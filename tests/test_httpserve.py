@@ -1,0 +1,148 @@
+"""HTTP serving-surface tests (the reference REST service's routes,
+``service/neosearch/server/server.go:39-57``): one warm index process,
+two concurrent HTTP clients, plus the create→add→get→search→delete
+document lifecycle over a fresh index."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from neosearch_spark.build import IndexBuilder
+from neosearch_spark.docids import assign_doc_ids
+from neosearch_spark.httpserve import serve_http, validate_index_name
+from neosearch_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def http_srv(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("http_root"))
+    docs = assign_doc_ids(synth_transcripts(spark, 150, seed=3))
+    IndexBuilder(f"{root}/warmidx", span=64).build(docs)
+    srv = serve_http(spark, root, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _req(url: str, method: str = "GET", body: dict | None = None) -> dict:
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_home_and_index_info(http_srv):
+    srv, base = http_srv
+    assert _req(base + "/")["status"] == "alive"
+    info = _req(base + "/warmidx")
+    assert info["n_docs"] == 150 and info["avgdl"] > 0
+    # reference-parity error body for a missing index
+    assert _req(base + "/nosuchidx")["error"] == "Index 'nosuchidx' doesn't exists."
+    # reference index-name rule: short / leading-digit names rejected
+    assert "error" in _req(base + "/ab")
+    assert not validate_index_name("1abc") and validate_index_name("abc_1")
+
+
+def test_two_concurrent_clients_one_warm_index(spark, http_srv):
+    """Two HTTP clients fire interleaved searches at ONE warm index
+    process; both get rank-identical results to the library API, and
+    the repeat terms are answered from the shared per-term memo."""
+    from neosearch_spark.query import SparkIndex
+
+    srv, base = http_srv
+    expect = {
+        q: [
+            {"doc_id": r["doc_id"], "score": r["score"]}
+            for r in SparkIndex(spark, srv.index_dir("warmidx"))
+            .bm25_topk(q, k=5).collect()
+        ]
+        for q in ("tok1 tok3", "tok2")
+    }
+
+    results: dict[str, list] = {}
+
+    def client(cid: str, query: str) -> None:
+        got = []
+        for _ in range(3):
+            got.append(
+                _req(base + "/warmidx", "POST", {"queries": [query], "k": 5})
+            )
+        results[cid] = got
+
+    t1 = threading.Thread(target=client, args=("c1", "tok1 tok3"))
+    t2 = threading.Thread(target=client, args=("c2", "tok2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    for cid, query in (("c1", "tok1 tok3"), ("c2", "tok2")):
+        for resp in results[cid]:
+            assert resp["batch"][0]["query"] == query
+            assert resp["batch"][0]["results"] == expect[query]
+    # warm handle: both clients shared one SparkIndex (its memo holds
+    # every probed (field, term) pair exactly once)
+    handle = srv.handles["warmidx"]
+    assert {t for _, t in handle._meta_cache} >= {"tok1", "tok3", "tok2"}
+
+
+def test_dsl_search_and_get(http_srv):
+    srv, base = http_srv
+    # reference search body: {"query": {DSL}} → {"total", "results"}
+    out = _req(base + "/warmidx", "POST",
+               {"query": {"$and": [{"text": "tok1"}, {"text": "tok2"}]},
+                "limit": 3})
+    assert out["total"] >= 3 and len(out["results"]) == 3
+    doc_id = out["results"][0]["doc_id"]
+    doc = _req(f"{base}/warmidx/{doc_id}")
+    assert doc["doc_id"] == doc_id and "tok1" in doc["text"]
+    # engine-internal derived columns must not leak into the body
+    assert "dl" not in doc and "doc_part" not in doc
+    # reference error bodies
+    assert _req(base + "/warmidx", "POST", {})["error"] == "No query field specified"
+    assert "not a JSON object" in _req(
+        base + "/warmidx", "POST", {"query": "tok1"}
+    )["error"]
+    assert _req(f"{base}/warmidx/notanint")["error"] == "Invalid document id"
+    # malformed BM25 body: error response, process stays up
+    assert "non-empty list of strings" in _req(
+        base + "/warmidx", "POST", {"queries": "tok1"}
+    )["error"]
+    assert _req(base + "/")["status"] == "alive"
+
+
+def test_create_add_search_delete_lifecycle(http_srv):
+    """PUT create → POST /{index}/{id} add (first add BUILDS the
+    physical index via the shared _apply_sets path) → add is visible
+    to get + BM25 + DSL → second add upserts → DELETE removes."""
+    srv, base = http_srv
+    assert _req(base + "/lifeidx", "PUT", {"fields": ["text"]})[
+        "status"
+    ] == "Index 'lifeidx' created."
+    assert _req(base + "/lifeidx", "PUT")["error"] == "Index 'lifeidx' already exists."
+    # adds must hit an existing (created) index
+    assert "doesn't exists" in _req(base + "/ghostidx/1", "POST", {"text": "x"})["error"]
+
+    assert _req(base + "/lifeidx/1", "POST",
+                {"text": "hello distributed world"})["status"] == "Document 1 indexed."
+    assert _req(base + "/lifeidx/2", "POST",
+                {"text": "hello spark"})["status"] == "Document 2 indexed."
+    assert _req(base + "/lifeidx/1")["text"] == "hello distributed world"
+    out = _req(base + "/lifeidx", "POST", {"queries": ["hello"], "k": 5})
+    assert {r["doc_id"] for r in out["batch"][0]["results"]} == {1, 2}
+    out = _req(base + "/lifeidx", "POST", {"query": {"text": "spark"}})
+    assert out["total"] == 1 and out["results"][0]["doc_id"] == 2
+    # replace doc 1 (reference re-Add semantics via upsert)
+    assert _req(base + "/lifeidx/1", "POST", {"text": "goodbye"})["status"] == (
+        "Document 1 indexed."
+    )
+    out = _req(base + "/lifeidx", "POST", {"queries": ["hello"], "k": 5})
+    assert {r["doc_id"] for r in out["batch"][0]["results"]} == {2}
+
+    assert _req(base + "/lifeidx", "DELETE")["status"] == "Index 'lifeidx' deleted."
+    assert "doesn't exists" in _req(base + "/lifeidx")["error"]
