@@ -289,6 +289,77 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def repl_loop(ex, lines, out, prompt: bool = False) -> int:
+    """Interactive ``.ns`` REPL — the reference CLI's line loop
+    (``cmd/cli/cli.go:24-112``): each input line parses through the
+    ``.ns`` grammar and executes through the shared ``NsExecutor``
+    verbs, printing the reference's result format:
+
+        <verb>: Success
+        Result[idx]: [1, 2, 3]        (postings get)
+        Result: {"doc_id": 1, ...}    (doc-store get)
+        ERROR: <message>              (failed statement)
+
+    ``quit`` / ``quit;`` exits (cli.go:70-73); parse errors print and
+    the loop continues; pending writes flush on exit so a session's
+    tail batch is never lost.  Returns statements executed."""
+    executed = 0
+    it = iter(lines)
+    while True:
+        if prompt:
+            print("neosearch>", end="", file=out, flush=True)
+        try:
+            line = next(it)
+        except StopIteration:
+            break
+        line = line.strip()
+        if not line:
+            continue
+        if line.lower() in ("quit", "quit;"):
+            break
+        try:
+            from .nscript import parse_ns
+
+            cmds = parse_ns(line)
+        except ValueError as e:
+            print(e, file=out)
+            continue
+        for cmd in cmds:
+            try:
+                res = ex.execute(cmd)
+            except Exception as e:  # noqa: BLE001 — a failed
+                # statement must not kill the session (cli.go:81-83)
+                print(f"ERROR: {e}", file=out)
+                continue
+            executed += 1
+            print(f"{cmd.verb}: Success", file=out)
+            if res is not None:
+                if "doc_ids" in res:
+                    print(f"Result[idx]: {res['doc_ids']}", file=out)
+                else:
+                    print(f"Result: {json.dumps(res['doc'], default=str)}", file=out)
+    ex.flush()
+    print("Exiting...", file=out)
+    return executed
+
+
+def cmd_repl(args) -> int:
+    from .nscript import NsExecutor
+
+    spark = _spark(args)
+    build_kwargs = {}
+    if args.fields:
+        build_kwargs["analyzed_fields"] = args.fields.split(",")
+    if args.exact_fields:
+        build_kwargs["exact_fields"] = args.exact_fields.split(",")
+    if not build_kwargs:
+        build_kwargs["infer"] = True
+    ex = NsExecutor(spark, args.index, build_kwargs=build_kwargs,
+                    chunk=args.chunk)
+    repl_loop(ex, sys.stdin, sys.stdout, prompt=sys.stdin.isatty())
+    return 0
+
+
 def cmd_serve_http(args) -> int:
     """HTTP serving (the reference's REST service,
     ``service/neosearch/server/server.go``): indices are
@@ -337,8 +408,6 @@ def cmd_replay(args) -> int:
     from .nscript import replay_ns
 
     spark = _spark(args)
-    with open(args.input) as f:
-        text = f.read()
     build_kwargs = {}
     if args.fields:
         build_kwargs["analyzed_fields"] = args.fields.split(",")
@@ -349,9 +418,13 @@ def cmd_replay(args) -> int:
         # reflection behavior, index.go:355-480) instead of baked-in
         # column names the replayed docs may not have
         build_kwargs["infer"] = True
-    res = replay_ns(
-        spark, args.index, text, build_kwargs=build_kwargs, chunk=args.chunk
-    )
+    # the file object streams line-by-line through the incremental
+    # parser — neither the dump text nor the command list is ever
+    # fully driver-resident
+    with open(args.input) as f:
+        res = replay_ns(
+            spark, args.index, f, build_kwargs=build_kwargs, chunk=args.chunk
+        )
     print(json.dumps({"status": "ok", **res}, default=str))
     return 0
 
@@ -431,6 +504,19 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--cache", action="store_true",
                     help="pin blocks/terms in executor memory")
     sv.set_defaults(fn=cmd_serve)
+
+    rl = sub.add_parser(
+        "repl",
+        help="interactive .ns session: reference CLI line loop "
+        "(set/get/mergeset/delete/batch/flushbatch)",
+    )
+    rl.add_argument("--index", required=True)
+    rl.add_argument("--fields", default=None,
+                    help="analyzed fields when the session must CREATE "
+                         "the index (default: infer from the doc schema)")
+    rl.add_argument("--exact-fields", default=None)
+    rl.add_argument("--chunk", type=int, default=100_000)
+    rl.set_defaults(fn=cmd_repl)
 
     sh = sub.add_parser(
         "serve-http",

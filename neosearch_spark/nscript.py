@@ -119,67 +119,141 @@ def _tokens(text: str):
         yield kind, m.group()
 
 
+def _lit(kind: str, tok: str) -> str | int | float:
+    if kind == "num":
+        return int(tok)
+    if kind == "typed":
+        body = tok[tok.index("(") + 1 : -1]
+        return float(body) if tok.startswith("float") else int(body)
+    if kind in ("dq", "sq"):
+        return _unquote(tok)
+    return tok  # bare word key/value is a string
+
+
+# arg arity per verb — also gates the implicit 'using' statement
+# boundary below
+_ARITY = {"set": 2, "mergeset": 2, "get": 1, "delete": 1,
+          "batch": 0, "flushbatch": 0}
+
+
+def _statement_complete(cur: list[tuple[str, str]]) -> bool:
+    """True when ``cur`` already holds using + target + verb + every
+    required argument — the only point where a bare ``using`` word
+    can open a NEW statement rather than being a key/value literal
+    (the reference parser only terminates on ';'/EOF, so an unquoted
+    key or value spelled 'using' must not split a statement that is
+    still collecting arguments)."""
+    if len(cur) < 3:
+        return False
+    verb = cur[2][1].lower()
+    if cur[2][0] != "word" or verb not in _VERBS:
+        return False
+    return len(cur) - 3 >= _ARITY[verb]
+
+
+def _build_command(cur: list[tuple[str, str]]) -> Command:
+    if len(cur) < 3 or cur[0][1].lower() != "using" or cur[0][0] != "word":
+        raise ValueError(f"bad ns statement: {' '.join(t for _, t in cur)!r}")
+    target_kind, target = cur[1]
+    tgt = target if target_kind not in ("dq", "sq") else _unquote(target)
+    if "." not in tgt:
+        raise ValueError(f"using target needs <index>.<database>: {tgt!r}")
+    index, database = tgt.split(".", 1)
+    verb_kind, verb = cur[2]
+    verb = verb.lower()
+    if verb_kind != "word" or verb not in _VERBS:
+        raise ValueError(f"unknown ns command {verb!r}")
+    args = [_lit(k, t) for k, t in cur[3:]]
+    if verb in ("set", "mergeset") and len(args) != 2:
+        raise ValueError(f"{verb} needs key and value: {tgt!r}")
+    if verb in ("get", "delete") and len(args) != 1:
+        raise ValueError(f"{verb} needs exactly a key: {tgt!r}")
+    if verb in ("batch", "flushbatch") and args:
+        raise ValueError(f"{verb} takes no arguments: {tgt!r}")
+    return Command(
+        index=index,
+        database=database,
+        verb=verb,
+        key=args[0] if args else None,
+        value=args[1] if len(args) > 1 else None,
+    )
+
+
+def iter_parse_ns(chunks) -> "Iterator[Command]":
+    """Streaming ``.ns`` parser: consume an iterable of text chunks
+    (e.g. a file object's lines), yield each ``Command`` as soon as
+    its statement completes — only the pending statement's text is
+    ever resident, so replaying an arbitrarily large dump keeps
+    driver memory bounded (statements may span chunks: quoted
+    payloads can contain raw newlines).
+
+    Statements end at ``;``, at a ``using`` that opens the next
+    statement (only once the current one has its full verb arity —
+    an unquoted key/value literally spelled 'using' stays a
+    literal), or at EOF (the final ``;`` may be omitted,
+    parser_test.go:118-121).  A chunk boundary can split a token;
+    the un-tokenizable tail is retried with the next chunk and only
+    reported as a parse error at EOF."""
+    buf = ""
+    for chunk in chunks:
+        buf += chunk
+        buf = yield from _drain(buf, final=False)
+    leftover = yield from _drain(buf, final=True)
+    if leftover.strip():
+        # surface the error at the true offset semantics of _tokens
+        for _ in _tokens(leftover):
+            pass
+        raise ValueError(f"incomplete trailing ns statement: {leftover[:40]!r}")
+
+
+def _drain(buf: str, final: bool):
+    """Tokenize ``buf`` from the start, yielding every COMPLETE
+    statement; returns the unconsumed tail (re-tokenized on the next
+    feed — one pending statement, so the rescan is O(statement))."""
+    pos = 0
+    consumed = 0
+    cur: list[tuple[str, str]] = []
+    while pos < len(buf):
+        m = _TOKEN_RE.match(buf, pos)
+        if m is None:
+            if final:
+                raise ValueError(
+                    f"ns parse error at offset {pos}: {buf[pos:pos + 20]!r}"
+                )
+            break  # likely a token split across chunks — wait for more
+        if not final and m.end() == len(buf) and m.lastgroup in (
+            "word", "num", "typed"
+        ):
+            # token touches the buffer edge and could still grow
+            # (e.g. 'flushb' + 'atch', '12' + '3') — wait for more
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tok = m.group()
+        if kind == "semi":
+            if cur:
+                yield _build_command(cur)
+                cur = []
+            consumed = pos
+        elif kind == "word" and tok.lower() == "using" and _statement_complete(cur):
+            yield _build_command(cur)
+            cur = [(kind, tok)]
+            consumed = m.start()
+        else:
+            cur.append((kind, tok))
+    if final and cur:
+        yield _build_command(cur)
+        return ""
+    return buf[consumed:]
+
+
 def parse_ns(text: str) -> list[Command]:
     """Parse ``.ns`` statements: ``using <index>.<db> <verb> [key]
     [value]`` terminated by ``;`` (the final statement may omit it,
-    parser_test.go:118-121)."""
-    cmds: list[Command] = []
-    cur: list[tuple[str, str]] = []
-
-    def lit(kind: str, tok: str) -> str | int:
-        if kind == "num":
-            return int(tok)
-        if kind == "typed":
-            body = tok[tok.index("(") + 1 : -1]
-            return float(body) if tok.startswith("float") else int(body)
-        if kind in ("dq", "sq"):
-            return _unquote(tok)
-        return tok  # bare word key/value is a string
-
-    def flush() -> None:
-        if not cur:
-            return
-        if len(cur) < 3 or cur[0][1].lower() != "using" or cur[0][0] != "word":
-            raise ValueError(f"bad ns statement: {' '.join(t for _, t in cur)!r}")
-        target_kind, target = cur[1]
-        tgt = target if target_kind not in ("dq", "sq") else _unquote(target)
-        if "." not in tgt:
-            raise ValueError(f"using target needs <index>.<database>: {tgt!r}")
-        index, database = tgt.split(".", 1)
-        verb_kind, verb = cur[2]
-        verb = verb.lower()
-        if verb_kind != "word" or verb not in _VERBS:
-            raise ValueError(f"unknown ns command {verb!r}")
-        args = [lit(k, t) for k, t in cur[3:]]
-        if verb in ("set", "mergeset") and len(args) != 2:
-            raise ValueError(f"{verb} needs key and value: {tgt!r}")
-        if verb in ("get", "delete") and len(args) != 1:
-            raise ValueError(f"{verb} needs exactly a key: {tgt!r}")
-        if verb in ("batch", "flushbatch") and args:
-            raise ValueError(f"{verb} takes no arguments: {tgt!r}")
-        cmds.append(
-            Command(
-                index=index,
-                database=database,
-                verb=verb,
-                key=args[0] if args else None,
-                value=args[1] if len(args) > 1 else None,
-            )
-        )
-        cur.clear()
-
-    for kind, tok in _tokens(text):
-        if kind == "semi":
-            flush()
-        elif kind == "word" and tok.lower() == "using" and cur:
-            # statement boundary without ';' (EOF rule generalized:
-            # a new 'using' closes the previous statement)
-            flush()
-            cur.append((kind, tok))
-        else:
-            cur.append((kind, tok))
-    flush()
-    return cmds
+    parser_test.go:118-121).  List form of ``iter_parse_ns``."""
+    return list(iter_parse_ns([text]))
 
 
 # ---------------------------------------------------------------- dump
@@ -341,22 +415,162 @@ def _apply_sets(
     return upsert_docs(spark, index_dir, batch)
 
 
+class NsExecutor:
+    """Incremental ``.ns`` statement executor — the shared engine
+    behind file replay (``replay_ns``) and the interactive REPL
+    (``cli.py repl``).  Holds the pending set/delete batches, the
+    flush counters, and the cached ``SparkIndex`` read handle
+    (invalidated on every flush — table swaps reopen lazily).
+
+    Read-your-writes: every ``get`` flushes pending writes first,
+    like the reference engine's batch semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        build_kwargs: dict | None = None,
+        chunk: int = 100_000,
+        get_limit: int = 100,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.build_kwargs = dict(build_kwargs or {})
+        self.chunk = chunk
+        self.get_limit = get_limit
+        self._sets: list[tuple[int, str]] = []
+        self._deletes: list[int] = []
+        self._idx = None
+        self.counters = {
+            "n_set": 0,
+            "n_deleted": 0,
+            "n_gets": 0,
+            "n_skipped_derived": 0,
+            "n_flushes": 0,
+        }
+
+    def flush(self) -> None:
+        # preserve set/delete ordering at group granularity: whichever
+        # op type is pending applies; both pending means the stream
+        # interleaved them inside one chunk — apply sets then deletes
+        # in dump order is WRONG for interleaves, so flush happens on
+        # every op-type switch (see execute) and both never pend here.
+        if self._sets:
+            _apply_sets(self.spark, self.index_dir, self._sets, self.build_kwargs)
+            self.counters["n_set"] += len({i for i, _ in self._sets})
+            self._sets.clear()
+            self.counters["n_flushes"] += 1
+            self._idx = None  # table swap → reopen on next read
+        if self._deletes:
+            from .maintenance import delete_docs
+
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in dict.fromkeys(self._deletes)], "doc_id long"
+            )
+            res = delete_docs(self.spark, self.index_dir, ids)
+            self.counters["n_deleted"] += res.get("n_deleted", 0)
+            self._deletes.clear()
+            self.counters["n_flushes"] += 1
+            self._idx = None
+
+    def _handle(self):
+        from .query import SparkIndex
+
+        if self._idx is None:
+            self._idx = SparkIndex(self.spark, self.index_dir)
+        return self._idx
+
+    def execute(self, cmd: Command) -> dict | None:
+        """Apply one statement; ``get`` verbs return their result
+        dict (doc-store: ``{"database", "key", "doc"}``; postings:
+        ``{"database", "key", "doc_ids"}``), all others ``None``."""
+        db = cmd.database
+        if db == "document.db":
+            if cmd.verb in ("set", "mergeset"):
+                if self._deletes:
+                    self.flush()
+                self._sets.append((int(cmd.key), str(cmd.value)))
+                if len(self._sets) >= self.chunk:
+                    self.flush()
+            elif cmd.verb == "delete":
+                if self._sets:
+                    self.flush()
+                self._deletes.append(int(cmd.key))
+                if len(self._deletes) >= self.chunk:
+                    self.flush()
+            elif cmd.verb == "get":
+                self.flush()
+                rows = (
+                    self._handle()
+                    .get_docs(
+                        self.spark.createDataFrame(
+                            [(int(cmd.key),)], "doc_id long"
+                        )
+                    )
+                    .collect()
+                )
+                self.counters["n_gets"] += 1
+                return {
+                    "database": db,
+                    "key": cmd.key,
+                    "doc": rows[0].asDict(recursive=True) if rows else None,
+                }
+            # batch: replay always batches; flushbatch handled below
+            elif cmd.verb == "flushbatch":
+                self.flush()
+        elif db.endswith(".idx"):
+            field = db[: -len(".idx")]
+            if cmd.verb == "get":
+                self.flush()
+                ids = (
+                    self._handle()
+                    .term_docs(str(cmd.key), field=field)
+                    .orderBy("doc_id")
+                    .limit(self.get_limit)
+                    .collect()
+                )
+                self.counters["n_gets"] += 1
+                return {
+                    "database": db,
+                    "key": cmd.key,
+                    "doc_ids": [r["doc_id"] for r in ids],
+                }
+            elif cmd.verb in ("set", "mergeset", "delete"):
+                # derived data — postings are rebuilt from the
+                # document stream (module docstring)
+                self.counters["n_skipped_derived"] += 1
+            elif cmd.verb == "flushbatch":
+                self.flush()
+        else:
+            # opaque KV database with no Spark-engine analog
+            if cmd.verb in ("set", "mergeset", "delete", "get"):
+                self.counters["n_skipped_derived"] += 1
+            elif cmd.verb == "flushbatch":
+                self.flush()
+        return None
+
+
 def replay_ns(
     spark: SparkSession,
     index_dir: str,
-    text: str,
+    text,
     build_kwargs: dict | None = None,
     chunk: int = 100_000,
     get_limit: int = 100,
 ) -> dict:
-    """Replay a parsed ``.ns`` command stream against ``index_dir``.
+    """Replay a ``.ns`` command stream against ``index_dir``.
+
+    ``text`` is a string OR an iterable of text chunks (e.g. an open
+    file object) — the iterable form streams through the incremental
+    parser so neither the raw dump text nor the parsed command list
+    is ever fully driver-resident: one pending statement plus one
+    pending flush chunk bound the memory at ANY dump size.
 
     Creates the index on the first document flush when no manifest
     exists (``build_kwargs`` → ``IndexBuilder``; the reference
     equivalent is the create-index DDL that precedes a restore),
     otherwise applies through the partition-scoped maintenance
-    paths.  Pending sets/deletes auto-flush at ``chunk`` rows so
-    driver memory stays bounded on huge dumps.
+    paths.  Pending sets/deletes auto-flush at ``chunk`` rows.
 
     Schema note: a FRESH index's doc schema is inferred from the
     first flushed chunk.  Unknown columns in later chunks fail
@@ -366,118 +580,17 @@ def replay_ns(
     create the index first so its stored ``docs_schema`` governs.
 
     Returns counters plus the ``get`` results in command order."""
-    from .query import SparkIndex
-
-    build_kwargs = dict(build_kwargs or {})
-    sets: list[tuple[int, str]] = []
-    deletes: list[int] = []
-    counters = {
-        "n_set": 0,
-        "n_deleted": 0,
-        "n_gets": 0,
-        "n_skipped_derived": 0,
-        "n_flushes": 0,
-    }
+    ex = NsExecutor(
+        spark, index_dir, build_kwargs=build_kwargs, chunk=chunk,
+        get_limit=get_limit,
+    )
     gets: list[dict] = []
-    idx_handle: list[SparkIndex | None] = [None]
-
-    def flush() -> None:
-        # preserve set/delete ordering at group granularity: whichever
-        # op type is pending applies; both pending means the file
-        # interleaved them inside one chunk — apply sets then deletes
-        # in dump order is WRONG for interleaves, so flush happens on
-        # every op-type switch (see below) and both never pend here.
-        if sets:
-            _apply_sets(spark, index_dir, sets, build_kwargs)
-            counters["n_set"] += len({i for i, _ in sets})
-            sets.clear()
-            counters["n_flushes"] += 1
-            idx_handle[0] = None  # table swap → reopen on next read
-        if deletes:
-            from .maintenance import delete_docs
-
-            ids = spark.createDataFrame(
-                [(int(i),) for i in dict.fromkeys(deletes)], "doc_id long"
-            )
-            res = delete_docs(spark, index_dir, ids)
-            counters["n_deleted"] += res.get("n_deleted", 0)
-            deletes.clear()
-            counters["n_flushes"] += 1
-            idx_handle[0] = None
-
-    def handle() -> SparkIndex:
-        if idx_handle[0] is None:
-            idx_handle[0] = SparkIndex(spark, index_dir)
-        return idx_handle[0]
-
-    for cmd in parse_ns(text):
-        db = cmd.database
-        if db == "document.db":
-            if cmd.verb in ("set", "mergeset"):
-                if deletes:
-                    flush()
-                sets.append((int(cmd.key), str(cmd.value)))
-                if len(sets) >= chunk:
-                    flush()
-            elif cmd.verb == "delete":
-                if sets:
-                    flush()
-                deletes.append(int(cmd.key))
-                if len(deletes) >= chunk:
-                    flush()
-            elif cmd.verb == "get":
-                flush()
-                rows = (
-                    handle()
-                    .get_docs(
-                        spark.createDataFrame(
-                            [(int(cmd.key),)], "doc_id long"
-                        )
-                    )
-                    .collect()
-                )
-                gets.append(
-                    {
-                        "database": db,
-                        "key": cmd.key,
-                        "doc": rows[0].asDict(recursive=True) if rows else None,
-                    }
-                )
-                counters["n_gets"] += 1
-            # batch: replay always batches; flushbatch handled below
-            elif cmd.verb == "flushbatch":
-                flush()
-        elif db.endswith(".idx"):
-            field = db[: -len(".idx")]
-            if cmd.verb == "get":
-                flush()
-                ids = (
-                    handle()
-                    .term_docs(str(cmd.key), field=field)
-                    .orderBy("doc_id")
-                    .limit(get_limit)
-                    .collect()
-                )
-                gets.append(
-                    {
-                        "database": db,
-                        "key": cmd.key,
-                        "doc_ids": [r["doc_id"] for r in ids],
-                    }
-                )
-                counters["n_gets"] += 1
-            elif cmd.verb in ("set", "mergeset", "delete"):
-                # derived data — postings are rebuilt from the
-                # document stream (module docstring)
-                counters["n_skipped_derived"] += 1
-            elif cmd.verb == "flushbatch":
-                flush()
-        else:
-            # opaque KV database with no Spark-engine analog
-            if cmd.verb in ("set", "mergeset", "delete", "get"):
-                counters["n_skipped_derived"] += 1
-            elif cmd.verb == "flushbatch":
-                flush()
-    flush()
+    chunks = [text] if isinstance(text, str) else text
+    for cmd in iter_parse_ns(chunks):
+        res = ex.execute(cmd)
+        if res is not None:
+            gets.append(res)
+    ex.flush()
+    counters = dict(ex.counters)
     counters["gets"] = gets
     return counters

@@ -218,3 +218,71 @@ def test_serve_loop_rejects_string_queries():
     assert served == 3
     for line in out.getvalue().strip().splitlines():
         assert "non-empty list of strings" in json.loads(line)["error"]
+
+
+def test_repl_scripted_session(spark, tmp_path):
+    """Interactive .ns REPL (reference cmd/cli/cli.go:24-112): a
+    scripted stdin session creates an index via set, reads its own
+    writes (get after set WITHOUT flushbatch), queries postings,
+    deletes, survives a parse error and a failed statement, and
+    stops at quit — printing the reference CLI's result format."""
+    import io
+
+    from neosearch_spark.nscript import NsExecutor
+
+    d = str(tmp_path / "repl_idx")
+    ex = NsExecutor(spark, d, build_kwargs={"analyzed_fields": ["text"]})
+    out = io.StringIO()
+    session = [
+        'using repl.document.db set 1 "{\\"doc_id\\": 1, \\"text\\": \\"hello world\\"}";',
+        'using repl.document.db set 2 "{\\"doc_id\\": 2, \\"text\\": \\"hello spark\\"}";',
+        # read-your-writes: no flushbatch issued before the gets
+        "using repl.document.db get 2;",
+        "using repl.text.idx get hello;",
+        "this is not ns grammar @@@",          # parse error → continue
+        "using repl.document.db delete 1;",
+        "using repl.text.idx get hello;",
+        "using repl.document.db get 99;",      # missing doc → doc null
+        "QUIT",                                # case-insensitive quit
+        "using repl.text.idx get never;",      # must NOT execute
+    ]
+    executed = cli.repl_loop(ex, session, out)
+    assert executed == 7
+    text = out.getvalue()
+    lines = text.splitlines()
+    assert lines.count("set: Success") == 2
+    assert lines.count("get: Success") == 4
+    assert "delete: Success" in lines
+    assert "Result[idx]: [1, 2]" in lines          # before the delete
+    assert "Result[idx]: [2]" in lines             # after the delete
+    assert '"text": "hello spark"' in text         # doc-store get payload
+    assert "Result: null" in text                  # missing doc
+    assert "ns parse error" in text                # parse error reported
+    assert "never" not in text                     # nothing after quit
+    assert lines[-1] == "Exiting..."
+
+
+def test_repl_failed_statement_keeps_session(spark, tmp_path):
+    """A statement that fails at EXECUTION (get against an index that
+    doesn't exist yet) prints ERROR and the session continues
+    (cli.go:81-83)."""
+    import io
+
+    from neosearch_spark.nscript import NsExecutor
+
+    d = str(tmp_path / "repl_err_idx")
+    ex = NsExecutor(spark, d, build_kwargs={"analyzed_fields": ["text"]})
+    out = io.StringIO()
+    executed = cli.repl_loop(
+        ex,
+        [
+            "using repl.text.idx get hello;",  # no index yet → ERROR
+            'using repl.document.db set 5 "{\\"doc_id\\": 5, \\"text\\": \\"ok now\\"}";',
+            "using repl.text.idx get ok;",
+        ],
+        out,
+    )
+    assert executed == 2
+    text = out.getvalue()
+    assert text.startswith("ERROR: ")
+    assert "Result[idx]: [5]" in text

@@ -299,3 +299,69 @@ def test_dump_preserves_null_then_valued_columns(spark, tmp_path):
     )
     si = SparkIndex(spark, str(dst))
     assert [r["doc_id"] for r in si.term_docs("hammer", field="tool").collect()] == [1]
+
+
+# ------------------------------------------- streaming parser (r5)
+
+def test_parse_bare_using_key_value_is_literal():
+    """An unquoted key/value literally spelled 'using' must not
+    split the statement (the reference parser only terminates on
+    ';'/EOF); the implicit 'using' boundary applies only once the
+    current statement has its full verb arity."""
+    cmds = parse_ns("using sample.x set using using;")
+    assert cmds == [
+        Command(index="sample", database="x", verb="set",
+                key="using", value="using")
+    ]
+    # boundary still applies between arity-complete statements
+    cmds = parse_ns(
+        "using a.t.idx get tok1 using b.t.idx get tok2"
+    )
+    assert [(c.index, c.verb, c.key) for c in cmds] == [
+        ("a", "get", "tok1"), ("b", "get", "tok2")
+    ]
+
+
+def test_iter_parse_ns_streams_chunk_split_tokens():
+    """iter_parse_ns must yield identical commands when the input
+    arrives in chunks that split tokens, quoted payloads (including
+    raw newlines inside quotes), and statements arbitrarily."""
+    from neosearch_spark.nscript import iter_parse_ns
+
+    text = (
+        'using sample.document.db set 123 "line one\nline two";\n'
+        'using sample.test.idx mergeset "hello" uint(42);\n'
+        "using sample.document.db flushbatch;\n"
+        "using sample.document.db get 123"
+    )
+    want = parse_ns(text)
+    assert len(want) == 4
+    # every chunking of the text, down to single characters
+    for size in (1, 3, 7, len(text)):
+        chunks = [text[i:i + size] for i in range(0, len(text), size)]
+        assert list(iter_parse_ns(chunks)) == want, f"chunk size {size}"
+
+
+def test_iter_parse_ns_is_incremental():
+    """Commands must come out as their statements complete — not
+    buffered to EOF (the replay memory contract: one pending
+    statement resident, not the parsed dump)."""
+    from neosearch_spark.nscript import iter_parse_ns
+
+    def gen():
+        yield "using a.document.db set 1 \"x\";"
+        assert got, "first statement must be yielded before more input is pulled"
+        yield "using a.document.db set 2 \"y\";"
+
+    got: list = []
+    it = iter_parse_ns(gen())
+    got.append(next(it))
+    assert got[0].key == 1
+    assert [c.key for c in it] == [2]
+
+
+def test_iter_parse_ns_rejects_garbage_at_eof():
+    from neosearch_spark.nscript import iter_parse_ns
+
+    with pytest.raises(ValueError):
+        list(iter_parse_ns(["using a.document.db set 1 @@@"]))
