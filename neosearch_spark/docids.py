@@ -32,7 +32,16 @@ from pyspark.sql import functions as F
 def assign_doc_ids(
     df: DataFrame, order_cols: list[str] | None = None, num_partitions: int | None = None
 ) -> DataFrame:
-    """Add a dense ``doc_id`` (long, 0-based) in ``order_cols`` order."""
+    """Add a dense ``doc_id`` (long, 0-based) in ``order_cols`` order.
+
+    The returned DataFrame carries the exact row count as a
+    ``_nsq_n_rows`` attribute (the offsets pass counted every
+    partition anyway) — ``IndexBuilder.build`` reads it to skip its
+    own count() pre-pass.  It is a plain Python attribute on THIS
+    DataFrame object only: any further transformation returns a new
+    DataFrame without it, which is safe — every consumer falls back
+    to counting when the attribute is absent — but strips the
+    optimization, so apply filters/projections BEFORE this call."""
     if order_cols is None:
         order_cols = ["conv_id", "turn_idx"]
     spark = df.sparkSession

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from ..analyzer import norm_col, tokens_col
 
+# jaccard_pairs' one-time token-df-cap recall notice (see its body)
+_JACCARD_CAP_WARNED = False
+
 
 def _h60(col: F.Column) -> F.Column:
     """Portable 60-bit hash (md5-based, engine-agnostic)."""
@@ -241,6 +244,27 @@ def jaccard_pairs(
         )
     else:
         dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_df"))
+        # one-time per-process recall notice when the default cap is
+        # LIVE (some token actually exceeds it): pairs whose every
+        # shared token is ubiquitous are silently missed otherwise —
+        # exact-mode users migrating from the uncapped default must
+        # see the change.  The probe stops at the first over-cap
+        # token (limit 1) and never repeats in this process.
+        global _JACCARD_CAP_WARNED
+        if not _JACCARD_CAP_WARNED:
+            _JACCARD_CAP_WARNED = True
+            if dfs.where(F.col("token_df") > max_token_df).limit(1).count():
+                import warnings
+
+                warnings.warn(
+                    f"jaccard_pairs: max_token_df={max_token_df} excludes "
+                    "at least one token from candidate generation; pairs "
+                    "whose EVERY shared token exceeds the cap are missed "
+                    "(scores of surviving pairs stay exact). Pass "
+                    "max_token_df=None for exact all-pairs generation on "
+                    "bounded inputs.",
+                    stacklevel=2,
+                )
         cand_toks = (
             toks.join(dfs.where(F.col("token_df") <= max_token_df), "token")
             .select("doc_id", "token")

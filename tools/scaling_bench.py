@@ -147,10 +147,12 @@ occ.mapInArrow(lambda it: it, schema=occ.schema).write.format(
 ).mode("overwrite").save()
 calib_arrow_sec = time.time() - t0
 
-# leg D: the r4 default boundary shape — map-side-combined
-# groupBy(fid, term, span) collect_list, then the identity Arrow
-# round-trip over the GROUPED rows (term strings cross once per
-# group; ~2.5x fewer boundary bytes than leg C)
+# leg D: the r4 OPT-IN grouped boundary shape (encoder="grouped";
+# build.py ships encoder="carry" as the default — grouped is slower
+# at low core counts) — map-side-combined groupBy(fid, term, span)
+# collect_list, then the identity Arrow round-trip over the GROUPED
+# rows (term strings cross once per group; ~2.5x fewer boundary
+# bytes than leg C)
 g = (occ.withColumn("packed", F.expr("doc_id * 1024 + dl"))
      .withColumn("span_id", F.expr("packed div " + str(131072 * 1024)))
      .groupBy("fid", "term", "span_id")
@@ -288,7 +290,8 @@ def main() -> None:
     if has_grouped:
         grp_lo, grp_hi, grp_eff = leg_eff("calib_grouped_sec")
         grouped_row = (
-            f"| grouped agg + identity Arrow (r4 boundary shape) "
+            f"| grouped agg + identity Arrow (r4 opt-in grouped shape, "
+            f"encoder=\"grouped\"; shipped default is carry) "
             f"| {grp_lo:.1f} | {grp_hi:.1f} | {grp_eff:.2f} |\n"
         )
     else:
