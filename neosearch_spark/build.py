@@ -1231,15 +1231,34 @@ class IndexBuilder:
         # input — the resume contract is "same input as the original
         # run" (standard checkpoint semantics)
         prior = m["stages"].get("docs", {})
+        id_bounds: tuple[int, int] | None = None
         if resume and prior.get("ok") and os.path.exists(self.path("docs")):
             n_rows = spark.read.parquet(self.path("docs")).count()
         else:
             # assign_doc_ids already counted every partition for its
             # offsets — trust its carried total and skip a whole
-            # count() pass over the corpus
+            # count() pass over the corpus (its ids are dense 0..N-1
+            # by construction, so the id bounds come free too)
             n_rows = getattr(docs, "_nsq_n_rows", None)
             if n_rows is None:
-                n_rows = docs.count()
+                # caller-supplied doc_ids (the reference's uint64 key
+                # model) may be SPARSE: fold the id bounds into the
+                # same single column-pruned agg that was counting
+                # anyway — doc_part sizing below needs the RANGE, not
+                # the count (10k docs with 14-digit ids would
+                # otherwise explode into one directory per doc)
+                row = docs.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("doc_id").alias("lo"),
+                    F.max("doc_id").alias("hi"),
+                ).collect()[0]
+                n_rows = int(row["n"])
+                id_bounds = (
+                    int(row["lo"]) if row["lo"] is not None else 0,
+                    int(row["hi"]) if row["hi"] is not None else 0,
+                )
+            else:
+                id_bounds = (0, max(int(n_rows) - 1, 0))
         fp = (
             f"v{INDEX_FORMAT_VERSION};n={n_rows};"
             f"fields={self.analyzed_fields}+{self.exact_fields}"
@@ -1274,10 +1293,22 @@ class IndexBuilder:
 
         overpart = int(_os.environ.get("SPARK_GRAFT_OVERPARTITION", "4"))
         nparts = max(4, overpart * spark.sparkContext.defaultParallelism)
+        # doc_part width sizes from the ID RANGE (dense ids: range ==
+        # count; sparse caller-supplied ids: range >> count, and a
+        # count-based width would write one near-empty directory per
+        # doc — measured 100 s for the reference's own 10k-doc
+        # corpus with 14-digit ids before this fix)
         docs_span = int(
-            m["params"].get("docs_span") or doc_part_span(n_rows, self.span)
+            m["params"].get("docs_span")
+            or doc_part_span(
+                (id_bounds[1] + 1) if id_bounds is not None else n_rows,
+                self.span,
+            )
         )
         m["params"]["docs_span"] = docs_span
+        if id_bounds is not None:
+            # fail BEFORE the partitioned write a bad id would corrupt
+            validate_doc_id_bounds(id_bounds[0], id_bounds[1], docs_span)
         obs_stats: dict | None = None
         if not self._stage_done(m, "docs", fp):
             obs = Observation()
@@ -1360,12 +1391,17 @@ class IndexBuilder:
         avgdl = float(stats_row["avgdl"])
         max_dl = int(stats_row["max_dl"])
 
-        # doc_id bounds: one column-pruned agg guards the packed
-        # int64 path (doc_id must fit 63-DL_BITS bits) and the int
-        # doc_part partition key — caller-supplied ids outside these
-        # bounds would otherwise overflow SILENTLY into corrupted
-        # postings/partitions
-        _, max_doc_id = check_doc_id_bounds(docs_t, docs_span)
+        # doc_id bounds guard the packed int64 path (doc_id must fit
+        # 63-DL_BITS bits) and the int doc_part partition key —
+        # caller-supplied ids outside these bounds would otherwise
+        # overflow SILENTLY into corrupted postings/partitions.
+        # Fresh builds validated pre-write (id_bounds above); a
+        # resume that skipped the docs stage re-derives them with one
+        # column-pruned agg over the stored table.
+        if id_bounds is not None:
+            max_doc_id = id_bounds[1]
+        else:
+            _, max_doc_id = check_doc_id_bounds(docs_t, docs_span)
 
         # stage: blocks (span-aligned, delta+varint, block-max meta).
         # ONE shuffle: the raw occurrence stream range-partitions by
