@@ -99,6 +99,12 @@ class SparkIndex:
         # index after them (they swap stats anyway, which is also
         # read once at open).
         self._meta_cache: dict[tuple[str, str], tuple[int, int]] = {}
+        # per-term block-max span metadata memo (see _span_meta):
+        # same immutability/invalidation contract as _meta_cache
+        self._span_meta_cache: dict[
+            tuple[str, str], list[tuple[int, float, float]]
+        ] = {}
+        self._span_meta_cached_rows = 0
 
     @property
     def blocks(self) -> DataFrame:
@@ -387,6 +393,56 @@ class SparkIndex:
         total_postings = sum(dfmap.values())
         return self._idf(dfmap, qterms), total_blocks, total_postings
 
+    # driver-memory bound for the span-metadata memo: stop caching
+    # past this many total (span_id, max_tf_norm, enc_avgdl) tuples
+    # (~100 MB); further new terms are fetched per-query uncached
+    SPAN_META_MEMO_MAX_ROWS = 4_000_000
+
+    def _span_meta(
+        self, uniq: list[str], field: str
+    ) -> dict[str, list[tuple[int, float, float]]]:
+        """Per-term block-max metadata (span_id, max_tf_norm,
+        enc_avgdl) — the WAND bounds input — memoized per (field,
+        term).  Block metadata is immutable for an open index
+        (maintenance swaps tables; callers reopen after), so a warm
+        serving process pays the column-pruned metadata scan ONCE per
+        term: a repeat query skips straight to the boot scoring job
+        (3 Spark jobs → 2; measured in SCALE.md).  Callers must
+        pre-check sum(n_blocks) ≤ META_COLLECT_CAP from the memoized
+        terms-table metadata — that check replaces the old
+        limit(CAP+1) overflow probe, so the cap costs no job at all.
+        Terms absent from the index memoize as []."""
+        missing = [t for t in uniq if (field, t) not in self._span_meta_cache]
+        fetched: dict[str, list[tuple[int, float, float]]] = {}
+        if missing:
+            rows = (
+                self._bucket_terms(self.blocks, missing)
+                .where((F.col("field") == field) & F.col("term").isin(missing))
+                .select("term", "span_id", "max_tf_norm", "enc_avgdl")
+                .collect()
+            )
+            fetched = {t: [] for t in missing}
+            for r in rows:
+                fetched[r["term"]].append(
+                    (
+                        int(r["span_id"]),
+                        float(r["max_tf_norm"]),
+                        float(r["enc_avgdl"]),
+                    )
+                )
+            for t in missing:
+                n = len(fetched[t])
+                if (
+                    self._span_meta_cached_rows + n
+                    <= self.SPAN_META_MEMO_MAX_ROWS
+                ):
+                    self._span_meta_cache[(field, t)] = fetched[t]
+                    self._span_meta_cached_rows += n
+        return {
+            t: self._span_meta_cache.get((field, t), fetched.get(t, []))
+            for t in uniq
+        }
+
     def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
         """Per-span exact scoring: ≤k (doc_id, score) rows per span.
 
@@ -672,20 +728,16 @@ class SparkIndex:
             rows = blocks_q.select(*self._PAYLOAD_COLS).collect()
             return self._score_local(rows, qterms, idf, k)
 
-        # --- distributed path.  Column-pruned metadata scan feeds
-        # the per-span WAND bounds; a cap guards the astronomically-
-        # hot case (≥ ~260 G postings across the query's terms): fall
-        # back to fully distributed bound aggregation (never an
-        # unbounded collect).
+        # --- distributed path.  Column-pruned metadata scan (memoized
+        # per term — warm repeats skip it) feeds the per-span WAND
+        # bounds; the cap guards the astronomically-hot case (≥
+        # ~260 G postings across the query's terms): fall back to
+        # fully distributed bound aggregation (never an unbounded
+        # collect).  The cap check uses the memoized terms-table
+        # block counts, so overflow costs no probe job.
         meta = None
-        if prune and total_blocks > 64:
-            meta = (
-                blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl")
-                .limit(self.META_COLLECT_CAP + 1)
-                .collect()
-            )
-            if len(meta) > self.META_COLLECT_CAP:
-                meta = None
+        if prune and 64 < total_blocks <= self.META_COLLECT_CAP:
+            meta = self._span_meta(uniq, field)
 
         # pruning pays for its extra driver round-trips only when
         # there are enough blocks to skip; below the threshold the
@@ -737,14 +789,18 @@ class SparkIndex:
 
         if prune and meta is not None:
             ub: dict[int, float] = {}
-            for r in meta:
-                # inflate stale bounds when the corpus avgdl moved
-                # since a block was encoded (post-compaction safety —
-                # see build.py)
-                infl = max(1.0, self.avgdl / r["enc_avgdl"])
-                ub[r["span_id"]] = ub.get(r["span_id"], 0.0) + (
-                    wts[r["term"]] * r["max_tf_norm"] * infl
-                )
+            # per-term accumulation order — the same order the batch
+            # path uses, so both compute identical bounds
+            for t, rows in meta.items():
+                w = wts[t]
+                for span_id, max_tf_norm, enc_avgdl in rows:
+                    # inflate stale bounds when the corpus avgdl moved
+                    # since a block was encoded (post-compaction
+                    # safety — see build.py)
+                    infl = max(1.0, self.avgdl / enc_avgdl)
+                    ub[span_id] = ub.get(span_id, 0.0) + (
+                        w * max_tf_norm * infl
+                    )
             boot_spans = [
                 s for s, _ in sorted(ub.items(), key=lambda kv: -kv[1])[:n_boot]
             ]
@@ -972,12 +1028,11 @@ class SparkIndex:
         blocks_q = self._bucket_terms(self.blocks, uniq_hot).where(
             (F.col("field") == field) & F.col("term").isin(uniq_hot)
         )
-        meta = (
-            blocks_q.select("term", "span_id", "max_tf_norm", "enc_avgdl")
-            .limit(self.META_COLLECT_CAP + 1)
-            .collect()
-        )
-        if len(meta) > self.META_COLLECT_CAP:
+        # cap check from the memoized terms-table block counts (no
+        # probe job); under the cap, the span metadata itself comes
+        # from the per-term memo — warm repeat batches skip the scan
+        tm = self._term_meta(uniq_hot, field)
+        if sum(m[1] for m in tm.values()) > self.META_COLLECT_CAP:
             rows = self._score_spans_batch(
                 blocks_q, queries_map, idf_map, k, allowed=None
             )
@@ -989,9 +1044,7 @@ class SparkIndex:
             ]
 
         # per-(query, span) upper bounds from the shared metadata
-        by_term: dict[str, list] = {}
-        for r in meta:
-            by_term.setdefault(r["term"], []).append(r)
+        by_term = self._span_meta(uniq_hot, field)
         n_boot = max(1, (k * 2 + self.span - 1) // self.span, 4)
         ubs: dict[int, dict[int, float]] = {}
         for qi, qterms in queries_map.items():
@@ -1000,10 +1053,10 @@ class SparkIndex:
                 wts[t] = wts.get(t, 0.0) + idf_map[qi][t]
             ub: dict[int, float] = {}
             for t, w in wts.items():
-                for r in by_term.get(t, []):
-                    infl = max(1.0, self.avgdl / r["enc_avgdl"])
-                    ub[r["span_id"]] = ub.get(r["span_id"], 0.0) + (
-                        w * r["max_tf_norm"] * infl
+                for span_id, max_tf_norm, enc_avgdl in by_term.get(t, []):
+                    infl = max(1.0, self.avgdl / enc_avgdl)
+                    ub[span_id] = ub.get(span_id, 0.0) + (
+                        w * max_tf_norm * infl
                     )
             ubs[qi] = ub
 

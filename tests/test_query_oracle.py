@@ -378,3 +378,64 @@ def test_per_turn_text_equality_invariant(corpus):
         for r in si.docs.select("conv_id", "turn_idx", "text").collect()
     }
     assert src == stored
+
+
+def test_span_meta_memo_warm_repeat(spark, tmp_path, monkeypatch):
+    """The WAND-bounds span metadata is memoized per (field, term):
+    a warm repeat of a pruned distributed query must run NO metadata
+    scan (straight to the boot job), with results identical to the
+    cold run and to the exhaustive path.  The memo's row budget is
+    respected: past it, terms are fetched per-query uncached."""
+    docs = assign_doc_ids(synth_transcripts(spark, N_TURNS, seed=13))
+    d = str(tmp_path / "memo_idx")
+    IndexBuilder(d, span=8).build(docs)  # small span → >64 blocks
+    si = SparkIndex(spark, d)
+    q, k = "tok1 tok2 tok9", 10
+
+    missing_per_call: list[list[str]] = []
+    orig = type(si)._span_meta
+
+    def spy(self, uniq, field):
+        missing_per_call.append(
+            [t for t in uniq if (field, t) not in self._span_meta_cache]
+        )
+        return orig(self, uniq, field)
+
+    monkeypatch.setattr(type(si), "_span_meta", spy)
+
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, prune=False, mode="distributed").collect()
+    ]
+    cold = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, mode="distributed").collect()
+    ]
+    warm = [
+        (r["doc_id"], r["score"])
+        for r in si.bm25_topk(q, k, mode="distributed").collect()
+    ]
+    assert cold == warm == exhaustive
+    assert missing_per_call[0] == ["tok1", "tok2", "tok9"]  # cold: fetch all
+    assert missing_per_call[1] == []                        # warm: memo only
+
+    # batch path shares the memo: a batch repeating one term + one new
+    batch = si.bm25_topk_batch([q, "tok1 tok17"], k=k)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in batch.where("query_id = 0").select("doc_id", "score").collect()
+    ]
+    assert got == exhaustive
+    if len(missing_per_call) > 2:  # hot batch path taken
+        assert "tok1" not in missing_per_call[2]
+
+    # budget exhausted → correct but uncached
+    monkeypatch.setattr(type(si), "SPAN_META_MEMO_MAX_ROWS", 0)
+    si2 = SparkIndex(spark, d)
+    monkeypatch.setattr(type(si2), "_span_meta", spy)
+    a = [(r["doc_id"], r["score"])
+         for r in si2.bm25_topk(q, k, mode="distributed").collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in si2.bm25_topk(q, k, mode="distributed").collect()]
+    assert a == b == exhaustive
+    assert missing_per_call[-1] == ["tok1", "tok2", "tok9"]  # nothing cached
