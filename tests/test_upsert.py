@@ -445,26 +445,39 @@ def test_empty_corpus_build_and_misc_guards(spark, tmp_path):
 
 
 def test_build_rejects_pathological_doc_ids(spark, tmp_path):
-    """Caller-supplied doc_ids outside the engine's bounds fail LOUD
-    (negative ids; sparse hash ids that overflow the partition key)
-    instead of silently corrupting packed postings."""
+    """Negative doc_ids fail LOUD at build; SPARSE caller-supplied
+    ids (the reference's uint64 key model) are now SUPPORTED — the
+    r5 fix sizes doc_part from the id RANGE, so huge sparse ids
+    build into a bounded directory count (unpacked posting columns
+    past 2^43) instead of overflowing the partition key or writing
+    one directory per doc."""
     d = str(tmp_path / "bad_ids")
     neg = spark.createDataFrame([(-1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="negative doc_id"):
         IndexBuilder(d, span=32).build(neg)
 
+    import os as _os
     import shutil as _shutil
 
     _shutil.rmtree(d, ignore_errors=True)
     sparse = spark.createDataFrame(
-        [(0, "a b"), ((1 << 62), "c d")], "doc_id long, text string"
+        [(0, "a b"), ((1 << 62), "c d"), ((1 << 61), "a d")],
+        "doc_id long, text string",
     )
-    # ANSI mode surfaces the doc_part overflow at the docs write
-    # (CAST_OVERFLOW); the build's own guard covers non-ANSI configs
-    with pytest.raises(
-        Exception, match="CAST_OVERFLOW|overflows the int doc_part"
-    ):
-        IndexBuilder(d, span=32).build(sparse)
+    IndexBuilder(d, span=32).build(sparse)
+    si = SparkIndex(spark, d)
+    assert [r["doc_id"] for r in si.term_docs("a").collect()] == [0, 1 << 61]
+    assert [r["doc_id"] for r in si.term_docs("d").collect()] == [
+        1 << 61, 1 << 62
+    ]
+    top = si.bm25_topk("c d", 10).collect()
+    assert top[0]["doc_id"] == 1 << 62
+    # directory count bounded despite the 2^62 id range
+    parts = [
+        p for p in _os.listdir(_os.path.join(d, "docs"))
+        if p.startswith("doc_part=")
+    ]
+    assert 0 < len(parts) <= 256
 
 
 def test_upsert_and_delta_reject_pathological_doc_ids(spark, tmp_path):
