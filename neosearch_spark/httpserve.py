@@ -19,6 +19,12 @@ handlers' JSON):
                                  stdin-loop body {"queries": [...],
                                  "k": N} → BM25 {"batch": [...]}
     GET    /{index}/{id}       → fetch one document (index/get.go)
+    GET    /{index}/{id}/_analyze → the command a Get would run — the
+                                 .ns statement text, as the reference
+                                 answers (cmd.Reverse(),
+                                 index/get_analyze.go:27-76) — plus
+                                 the physical plan of the doc lookup,
+                                 nothing executed
     POST   /{index}/{id}       → add/replace a document
                                  (index/add.go; body = the doc JSON)
 
@@ -161,15 +167,16 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("request body must be a JSON object")
         return obj
 
-    def _route(self) -> tuple[str, str | None]:
+    def _route(self) -> tuple[str, str | None, bool]:
         parts = [p for p in self.path.split("?", 1)[0].split("/") if p]
-        if len(parts) > 2:
+        analyze = len(parts) == 3 and parts[2] == "_analyze"
+        if len(parts) > 2 and not analyze:
             raise ValueError(f"no such route: {self.path}")
         name = parts[0] if parts else ""
-        doc_id = parts[1] if len(parts) == 2 else None
+        doc_id = parts[1] if len(parts) >= 2 else None
         if name and not validate_index_name(name):
             raise ValueError(f"Invalid index name: {name}")
-        return name, doc_id
+        return name, doc_id, analyze
 
     def _missing(self, name: str) -> None:
         # exact reference error body (search.go:38-44 et al.)
@@ -178,7 +185,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- verbs -------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802
         try:
-            name, doc_id = self._route()
+            name, doc_id, analyze = self._route()
         except ValueError as e:
             self._send({"error": str(e)}, 400)
             return
@@ -190,6 +197,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._missing(name)
             return
         try:
+            if analyze:
+                # GET /{index}/{id}/_analyze (get_analyze.go:27-76):
+                # the reference answers with the command a Get WOULD
+                # run (cmd.Reverse() — the .ns statement text), never
+                # executing it.  Same statement text here, plus our
+                # engine's dry-run surface: the physical plan of the
+                # doc-store point lookup (pushed doc_id filter), no
+                # job run.
+                try:
+                    int_id = int(doc_id)
+                except ValueError:
+                    self._send({"error": f"Invalid document id: {doc_id}"}, 400)
+                    return
+                idx = srv.open(name)
+                ids = srv.spark.createDataFrame([(int_id,)], "doc_id long")
+                plan = (
+                    idx.get_docs(ids)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                self._send(
+                    {
+                        "command": f"using {name}.document.db get {int_id}",
+                        "plan": plan,
+                    }
+                )
+                return
             if doc_id is None:
                 if not os.path.exists(
                     os.path.join(srv.index_dir(name), "manifest.json")
@@ -225,7 +260,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_PUT(self) -> None:  # noqa: N802
         try:
-            name, doc_id = self._route()
+            name, doc_id, _analyze = self._route()
             if not name or doc_id is not None:
                 raise ValueError("create expects PUT /{index}")
         except ValueError as e:
@@ -256,7 +291,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self) -> None:  # noqa: N802
         try:
-            name, doc_id = self._route()
+            name, doc_id, _analyze = self._route()
             if not name or doc_id is not None:
                 raise ValueError("delete expects DELETE /{index}")
         except ValueError as e:
@@ -273,9 +308,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         try:
-            name, doc_id = self._route()
+            name, doc_id, analyze = self._route()
             if not name:
                 raise ValueError("search expects POST /{index}")
+            if analyze:
+                raise ValueError("_analyze is a GET route")
             body = self._body()
         except ValueError as e:
             self._send({"error": str(e)}, 400)

@@ -109,6 +109,14 @@ def test_dsl_search_and_get(http_srv):
         base + "/warmidx", "POST", {"query": "tok1"}
     )["error"]
     assert _req(f"{base}/warmidx/notanint")["error"] == "Invalid document id"
+    # _analyze (reference get_analyze.go): the .ns command text a Get
+    # would run + the doc-lookup plan, nothing executed
+    out = _req(f"{base}/warmidx/{doc_id}/_analyze")
+    assert out["command"] == f"using warmidx.document.db get {doc_id}"
+    assert "PushedFilters" in out["plan"] and str(doc_id) in out["plan"]
+    assert _req(f"{base}/warmidx/xyz/_analyze")["error"].startswith(
+        "Invalid document id"
+    )
     # malformed BM25 body: error response, process stays up
     assert "non-empty list of strings" in _req(
         base + "/warmidx", "POST", {"queries": "tok1"}
