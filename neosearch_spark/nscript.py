@@ -192,61 +192,106 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
     an unquoted key/value literally spelled 'using' stays a
     literal), or at EOF (the final ``;`` may be omitted,
     parser_test.go:118-121).  A chunk boundary can split a token;
-    the un-tokenizable tail is retried with the next chunk and only
-    reported as a parse error at EOF."""
+    the un-tokenizable tail is retried once more input arrives and
+    only reported as a parse error at EOF.
+
+    The scan position and the pending token list persist ACROSS
+    feeds (the buffer trims at statement boundaries, never rewinds),
+    so total tokenization work is O(len(dump)) — a multi-line quoted
+    payload does not re-scan its prefix once per chunk."""
     buf = ""
+    pos = 0
+    cur: list[tuple[str, str]] = []
+    # incremental scan state while blocked inside an unterminated
+    # quoted token: (resume offset, escaped-flag) — each feed scans
+    # only the NEW bytes for the closing quote, so a giant multi-chunk
+    # payload costs O(len) total, not O(len × chunks)
+    qstate: tuple[int, bool] | None = None
+
+    def scan(final: bool):
+        nonlocal buf, pos, cur, qstate
+        while pos < len(buf):
+            m = None if qstate is not None else _TOKEN_RE.match(buf, pos)
+            if m is None and (qstate is not None or buf[pos] in "\"'"):
+                # blocked inside an unterminated quote: resume the
+                # closing-quote hunt at the NEW bytes only
+                q = buf[pos]
+                off, esc = qstate if qstate is not None else (pos + 1, False)
+                closed = -1
+                while off < len(buf):
+                    c = buf[off]
+                    if esc:
+                        esc = False
+                    elif c == "\\":
+                        esc = True
+                    elif c == q:
+                        closed = off
+                        break
+                    off += 1
+                if closed < 0:
+                    qstate = (off, esc)
+                    if final:
+                        raise ValueError(
+                            f"ns parse error at offset {pos}: "
+                            f"{buf[pos:pos + 20]!r}"
+                        )
+                    return  # still inside the quote — wait for more
+                qstate = None  # closing quote arrived: match succeeds now
+                m = _TOKEN_RE.match(buf, pos)
+            if m is None:
+                if final:
+                    raise ValueError(
+                        f"ns parse error at offset {pos}: "
+                        f"{buf[pos:pos + 20]!r}"
+                    )
+                return  # token split across chunks — wait for more
+            if not final and m.end() == len(buf) and m.lastgroup in (
+                "word", "num", "typed"
+            ):
+                # token touches the buffer edge and could still grow
+                # (e.g. 'flushb' + 'atch', '12' + '3') — wait for more
+                return
+            if (
+                not final
+                and m.lastgroup == "word"
+                and m.group().lower() in ("uint", "int", "float")
+                and m.end() < len(buf)
+                and buf[m.end()] == "("
+            ):
+                # 'uint(' with the typed cast's ')' not yet arrived:
+                # committing 'uint' as a bare word here would turn
+                # uint(42) into word + garbage once the rest lands —
+                # wait until the typed pattern can match whole
+                return
+            kind = m.lastgroup
+            tok = m.group()
+            if kind == "semi":
+                if cur:
+                    yield _build_command(cur)
+                    cur = []
+                # statement boundary: everything before it is done —
+                # trim the buffer so memory tracks the PENDING
+                # statement, not the dump
+                buf = buf[m.end():]
+                pos = 0
+                continue
+            pos = m.end()
+            if kind == "ws":
+                continue
+            if kind == "word" and tok.lower() == "using" and _statement_complete(cur):
+                yield _build_command(cur)
+                cur = [(kind, tok)]
+                buf = buf[m.start():]
+                pos = len(tok)
+                continue
+            cur.append((kind, tok))
+
     for chunk in chunks:
         buf += chunk
-        buf = yield from _drain(buf, final=False)
-    leftover = yield from _drain(buf, final=True)
-    if leftover.strip():
-        # surface the error at the true offset semantics of _tokens
-        for _ in _tokens(leftover):
-            pass
-        raise ValueError(f"incomplete trailing ns statement: {leftover[:40]!r}")
-
-
-def _drain(buf: str, final: bool):
-    """Tokenize ``buf`` from the start, yielding every COMPLETE
-    statement; returns the unconsumed tail (re-tokenized on the next
-    feed — one pending statement, so the rescan is O(statement))."""
-    pos = 0
-    consumed = 0
-    cur: list[tuple[str, str]] = []
-    while pos < len(buf):
-        m = _TOKEN_RE.match(buf, pos)
-        if m is None:
-            if final:
-                raise ValueError(
-                    f"ns parse error at offset {pos}: {buf[pos:pos + 20]!r}"
-                )
-            break  # likely a token split across chunks — wait for more
-        if not final and m.end() == len(buf) and m.lastgroup in (
-            "word", "num", "typed"
-        ):
-            # token touches the buffer edge and could still grow
-            # (e.g. 'flushb' + 'atch', '12' + '3') — wait for more
-            break
-        pos = m.end()
-        kind = m.lastgroup
-        if kind == "ws":
-            continue
-        tok = m.group()
-        if kind == "semi":
-            if cur:
-                yield _build_command(cur)
-                cur = []
-            consumed = pos
-        elif kind == "word" and tok.lower() == "using" and _statement_complete(cur):
-            yield _build_command(cur)
-            cur = [(kind, tok)]
-            consumed = m.start()
-        else:
-            cur.append((kind, tok))
-    if final and cur:
+        yield from scan(final=False)
+    yield from scan(final=True)
+    if cur:
         yield _build_command(cur)
-        return ""
-    return buf[consumed:]
 
 
 def parse_ns(text: str) -> list[Command]:

@@ -365,3 +365,33 @@ def test_iter_parse_ns_rejects_garbage_at_eof():
 
     with pytest.raises(ValueError):
         list(iter_parse_ns(["using a.document.db set 1 @@@"]))
+
+
+def test_iter_parse_ns_large_multichunk_payload_linear():
+    """A quoted payload spanning thousands of chunks parses correctly
+    and in linear time: the scanner resumes the closing-quote hunt at
+    the new bytes instead of re-scanning the payload per chunk (a
+    quadratic rescan of this 400 KB / 4000-chunk input would take
+    minutes; linear is instant).  Escapes landing exactly on chunk
+    edges must survive the resume."""
+    import time
+
+    from neosearch_spark.nscript import iter_parse_ns
+
+    # payload with escaped quotes/backslashes sprinkled so some land
+    # on chunk boundaries
+    unit = 'abc \\" def \\\\ ghi '
+    payload = unit * (400_000 // len(unit))
+    text = (
+        f'using big.document.db set 1 "{payload}";\n'
+        "using big.document.db get 1"
+    )
+    chunks = [text[i:i + 100] for i in range(0, len(text), 100)]
+    t0 = time.time()
+    cmds = list(iter_parse_ns(chunks))
+    dt = time.time() - t0
+    assert len(cmds) == 2
+    assert cmds[0].verb == "set" and cmds[0].key == 1
+    assert cmds[0].value == payload.replace('\\"', '"').replace("\\\\", "\\")
+    assert cmds[1].verb == "get"
+    assert dt < 5.0, f"streaming parse took {dt:.1f}s — quadratic rescan?"
