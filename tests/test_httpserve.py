@@ -154,3 +154,50 @@ def test_create_add_search_delete_lifecycle(http_srv):
 
     assert _req(base + "/lifeidx", "DELETE")["status"] == "Index 'lifeidx' deleted."
     assert "doesn't exists" in _req(base + "/lifeidx")["error"]
+
+
+def test_cross_surface_roundtrip_http_dump_replay(spark, http_srv, tmp_path):
+    """The three ingestion surfaces compose: documents added over
+    HTTP → `.ns` dump → streamed replay into a fresh index → the
+    replayed index serves byte-identical search responses over HTTP.
+    (The dump/replay contract is per-surface tested; this guards the
+    COMPOSITION — e.g. schema drift between the HTTP add path and
+    the replay path would only show here.)"""
+    from neosearch_spark.nscript import dump_ns, replay_ns
+
+    srv, base = http_srv
+    assert "created" in _req(base + "/rtidx", "PUT", {"fields": ["text"]})["status"]
+    for i, text in enumerate(
+        ["round trip alpha", "round trip beta", "alpha beta gamma"]
+    ):
+        assert _req(base + f"/rtidx/{i}", "POST", {"text": text})[
+            "status"
+        ] == f"Document {i} indexed."
+
+    ns_path = str(tmp_path / "rt.ns")
+    n = dump_ns(spark, srv.index_dir("rtidx"), ns_path, name="rtidx")
+    assert n == 3
+
+    replayed = str(tmp_path / "rt_replayed")
+    with open(ns_path) as f:  # file object → streamed incremental parse
+        res = replay_ns(spark, replayed, f, build_kwargs={"analyzed_fields": ["text"]})
+    assert res["n_set"] == 3
+
+    # serve the REPLAYED index from the same server root and compare
+    # the HTTP search responses verbatim
+    import shutil
+
+    shutil.copytree(replayed, srv.index_dir("rtreplayed"))
+    for body in (
+        {"queries": ["alpha beta"], "k": 5},
+        {"query": {"text": "alpha"}},
+    ):
+        a = _req(base + "/rtidx", "POST", body)
+        b = _req(base + "/rtreplayed", "POST", body)
+        if "batch" in a:
+            assert a["batch"][0]["results"] == b["batch"][0]["results"]
+        else:
+            assert a["total"] == b["total"]
+            assert sorted(r["doc_id"] for r in a["results"]) == sorted(
+                r["doc_id"] for r in b["results"]
+            )
