@@ -283,7 +283,9 @@ def cmd_serve(args) -> int:
     from .query import SparkIndex
 
     spark = _spark(args)
-    idx = SparkIndex(spark, args.index, cache=args.cache)
+    idx = SparkIndex(
+        spark, args.index, cache=args.cache, result_cache=args.result_cache
+    )
     served = serve_loop(idx, sys.stdin, sys.stdout, default_k=args.k)
     print(json.dumps({"status": "served", "requests": served}), file=sys.stderr)
     return 0
@@ -503,6 +505,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("-k", type=int, default=10)
     sv.add_argument("--cache", action="store_true",
                     help="pin blocks/terms in executor memory")
+    sv.add_argument("--result-cache", type=int, default=4096,
+                    help="memoize up to N BM25 results (LRU): exact "
+                         "repeats cost zero Spark jobs; 0 disables")
     sv.set_defaults(fn=cmd_serve)
 
     rl = sub.add_parser(

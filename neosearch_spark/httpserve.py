@@ -102,12 +102,15 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         )
 
     def open(self, name: str):
-        """Cached SparkIndex handle (reopened after any mutation)."""
+        """Cached SparkIndex handle (reopened after any mutation).
+        The handle memoizes BM25 results (LRU, 4096 entries) — an
+        exact repeat request costs zero Spark jobs; mutation routes
+        invalidate the whole handle, memos included."""
         from .query import SparkIndex
 
         h = self.handles.get(name)
         if h is None:
-            h = SparkIndex(self.spark, self.index_dir(name))
+            h = SparkIndex(self.spark, self.index_dir(name), result_cache=4096)
             self.handles[name] = h
         return h
 

@@ -48,14 +48,29 @@ class SparkIndex:
     reference's ``NeoSearch.OpenIndex``, ``neosearch.go:170-206`` —
     minus the LRU: Spark's block manager owns caching)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = False,
+        result_cache: int = 0,
+    ):
         """cache=True pins the blocks/terms DataFrames in executor
         memory (MEMORY_AND_DISK, LRU-evicted) — the Spark-native form
         of the reference's open-handle LRU (``neosearch.go:117-123``)
         and the north star's "broadcast posting blocks": a serving
         deployment keeps the hot index resident.  At 10^12-turn scale
         the block manager caches whatever fits and spills the rest —
-        correctness is unaffected."""
+        correctness is unaffected.
+
+        result_cache=N (>0) additionally memoizes up to N BM25 top-k
+        RESULTS (driver-side, ≤k rows each, LRU): an index is
+        immutable while open, so an exact repeat of a (query, k,
+        field) costs ZERO Spark jobs — the serving answer to the
+        fixed per-job latency floor (SCALE.md).  Same invalidation
+        contract as the metadata memos: maintenance swaps tables,
+        callers reopen.  Off by default; the serving surfaces
+        (``cli serve``/``serve-http``) turn it on."""
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -105,6 +120,10 @@ class SparkIndex:
             tuple[str, str], list[tuple[int, float, float]]
         ] = {}
         self._span_meta_cached_rows = 0
+        from collections import OrderedDict
+
+        self._result_cache_max = int(result_cache)
+        self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
 
     @property
     def blocks(self) -> DataFrame:
@@ -692,6 +711,43 @@ class SparkIndex:
         }
 
     def bm25_topk(
+        self, query: str, k: int = 10, field: str = "text", prune: bool = True,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """BM25 top-k, ordered (score desc, doc_id asc).
+
+        With ``result_cache`` enabled (serving processes), an exact
+        repeat returns the memoized ≤k rows with ZERO Spark jobs;
+        results are identical by construction (the cached rows ARE a
+        previous run's output, and the open index is immutable).
+
+        mode: "auto" picks the driver-local broadcast-blocks path when
+        the query's posting volume is small (one pushed-down scan),
+        else the distributed per-span path; "local"/"distributed"
+        force a path.  prune=True enables block-max span pruning on
+        the distributed path; all paths are provably identical
+        (tested)."""
+        if not self._result_cache_max:
+            return self._bm25_topk_impl(query, k, field, prune, mode)
+        key = (query, k, field, prune, mode)
+        rows = self._result_cache.get(key)
+        if rows is None:
+            # the impl's result is already driver-resident (≤k rows,
+            # _topk_df) — materializing it here is a 1-task job
+            rows = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self._bm25_topk_impl(
+                    query, k, field, prune, mode
+                ).collect()
+            ]
+            self._result_cache[key] = rows
+            if len(self._result_cache) > self._result_cache_max:
+                self._result_cache.popitem(last=False)
+        else:
+            self._result_cache.move_to_end(key)
+        return self._topk_df(rows)
+
+    def _bm25_topk_impl(
         self, query: str, k: int = 10, field: str = "text", prune: bool = True,
         mode: str = "auto",
     ) -> DataFrame:

@@ -439,3 +439,43 @@ def test_span_meta_memo_warm_repeat(spark, tmp_path, monkeypatch):
          for r in si2.bm25_topk(q, k, mode="distributed").collect()]
     assert a == b == exhaustive
     assert missing_per_call[-1] == ["tok1", "tok2", "tok9"]  # nothing cached
+
+
+def test_result_cache_zero_jobs_on_repeat(spark, tmp_path, monkeypatch):
+    """result_cache=N: an exact repeat query returns the memoized
+    rows without re-entering the scoring engine (zero Spark scoring
+    jobs), identical to the uncached result; the LRU evicts at
+    capacity; default (0) stays uncached."""
+    docs = assign_doc_ids(synth_transcripts(spark, 200, seed=5))
+    d = str(tmp_path / "rc_idx")
+    IndexBuilder(d, span=32).build(docs)
+
+    calls: list[tuple] = []
+    impl = SparkIndex._bm25_topk_impl
+
+    def spy(self, query, k=10, field="text", prune=True, mode="auto"):
+        calls.append((query, k))
+        return impl(self, query, k, field, prune, mode)
+
+    monkeypatch.setattr(SparkIndex, "_bm25_topk_impl", spy)
+
+    plain = SparkIndex(spark, d)
+    want = [(r["doc_id"], r["score"]) for r in plain.bm25_topk("tok1 tok2", 5).collect()]
+    assert len(calls) == 2 or len(calls) == 1  # uncached: every call hits impl
+    n0 = len(calls)
+    plain.bm25_topk("tok1 tok2", 5).collect()
+    assert len(calls) == n0 + 1  # still uncached by default
+
+    si = SparkIndex(spark, d, result_cache=2)
+    calls.clear()
+    a = [(r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok2", 5).collect()]
+    b = [(r["doc_id"], r["score"]) for r in si.bm25_topk("tok1 tok2", 5).collect()]
+    assert a == b == want
+    assert len(calls) == 1, f"repeat must not re-enter the engine: {calls}"
+    # distinct k / query are distinct entries
+    si.bm25_topk("tok1 tok2", 3).collect()
+    si.bm25_topk("tok3", 5).collect()
+    assert len(calls) == 3
+    # capacity 2: the oldest entry was evicted and recomputes
+    si.bm25_topk("tok1 tok2", 5).collect()
+    assert len(calls) == 4
