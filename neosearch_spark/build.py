@@ -98,6 +98,17 @@ BLOCK_SCHEMA = (
 )
 
 
+def primary_dl_col(docs: DataFrame, field: str):
+    """BM25 document-length expression for the primary analyzed
+    field.  An ``array<string>`` primary (possible under schema
+    inference when the corpus has no scalar string column) measures
+    the space-joined elements — the same token count the element
+    analyzer produces for non-empty elements."""
+    if _is_array_field(docs, field):
+        return doc_len_col(F.concat_ws(" ", F.col(field)))
+    return doc_len_col(F.col(field))
+
+
 def _with_dl(docs: DataFrame, analyzed_fields: list[str]) -> DataFrame:
     """Attach the BM25 document length.  The persisted doc store
     carries ``dl`` as a stored column (computed once, during the docs
@@ -105,7 +116,7 @@ def _with_dl(docs: DataFrame, analyzed_fields: list[str]) -> DataFrame:
     compute it from the primary analyzed field."""
     if "dl" in docs.columns:
         return docs
-    return docs.withColumn("dl", doc_len_col(F.col(analyzed_fields[0])))
+    return docs.withColumn("dl", primary_dl_col(docs, analyzed_fields[0]))
 
 
 def _occurrence_stream(
@@ -325,7 +336,17 @@ def infer_fields(schema, doc_id_col: str = "doc_id") -> dict:
             "infer_fields found no string column to analyze "
             f"(schema: {[f.name for f in schema.fields]})"
         )
-    analyzed.sort(key=lambda f: (f != "text", f))
+    # primary slot (BM25 doc-length source): 'text' first, then
+    # scalar strings before array<string> fields (an array primary
+    # is supported but a scalar one is the natural doc length)
+    arrays = {
+        f for f in analyzed
+        if "." not in f
+        and isinstance(
+            schema[f].dataType, ArrayType
+        )
+    }
+    analyzed.sort(key=lambda f: (f != "text", f in arrays, f))
     return {
         "analyzed_fields": analyzed,
         "exact_fields": exact,
@@ -1314,7 +1335,7 @@ class IndexBuilder:
             obs = Observation()
             (
                 docs.withColumn(
-                    "dl", doc_len_col(F.col(self.analyzed_fields[0]))
+                    "dl", primary_dl_col(docs, self.analyzed_fields[0])
                 )
                 .withColumn(
                     "doc_part", F.expr(f"doc_id div {docs_span}").cast("int")

@@ -124,12 +124,13 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
     if args.dry_run:
-        print(json.dumps({"dry_run": True, **idx.explain_query(args.query[0], k=args.k)}))
+        print(json.dumps({"dry_run": True, **idx.explain_query(
+            args.query[0], field=args.field, k=args.k)}))
         return 0
     if len(args.query) > 1:
         # query stream → ONE Spark job (the reference's REST search
         # serves a request stream; bm25_topk_batch is its scale path)
-        rows = idx.bm25_topk_batch(args.query, k=args.k).collect()
+        rows = idx.bm25_topk_batch(args.query, k=args.k, field=args.field).collect()
         out = [
             {
                 "query": args.query[qi],
@@ -143,7 +144,9 @@ def cmd_search(args) -> int:
         ]
         print(json.dumps({"batch": out}))
         return 0
-    top = idx.bm25_topk(args.query[0], k=args.k, prune=not args.no_prune).collect()
+    top = idx.bm25_topk(
+        args.query[0], k=args.k, field=args.field, prune=not args.no_prune
+    ).collect()
     print(
         json.dumps(
             {
@@ -431,6 +434,54 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """Import a JSON document file into an index — the reference's
+    ``neosearch-import`` tool (``cmd/import/main.go``: a JSON ARRAY
+    of documents keyed by ``id``, batch-added).  Parsing is
+    distributed (``spark.read.json``): NDJSON splits across tasks
+    (the scale path); the reference's array-of-objects format is
+    auto-detected ('[' sniff) and read multiLine (one task per file,
+    parity path).  Creates the index when ``--create`` (fields from
+    ``--fields`` or schema inference, the reference's reflection
+    dispatch); otherwise replace-or-inserts through the
+    partition-scoped upsert.  Sparse uint64 ids are kept as supplied
+    (doc_part sizes from the id range)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    with open(args.file, "rb") as f:
+        head = f.read(512).lstrip()
+    reader = spark.read
+    if head.startswith(b"["):
+        reader = reader.option("multiLine", "true")
+    docs = reader.json(args.file)
+    if "doc_id" not in docs.columns:
+        if "id" not in docs.columns:
+            print(json.dumps({"error": "documents need an 'id' (or doc_id) key"}))
+            return 2
+        docs = docs.withColumnRenamed("id", "doc_id")
+    docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    n = docs.count()
+    if args.create:
+        from .build import IndexBuilder
+
+        kwargs = {}
+        if args.fields:
+            kwargs["analyzed_fields"] = args.fields.split(",")
+            if args.exact_fields:
+                kwargs["exact_fields"] = args.exact_fields.split(",")
+        else:
+            kwargs["infer"] = True
+        IndexBuilder(args.index, **kwargs).build(docs)
+        print(json.dumps({"status": "ok", "created": True, "docs": n}))
+    else:
+        from .maintenance import upsert_docs
+
+        counters = upsert_docs(spark, args.index, docs)
+        print(json.dumps({"status": "ok", "created": False, "docs": n, **counters}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .docids import assign_doc_ids
     from .synth import synth_transcripts
@@ -470,6 +521,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True, action="append",
                    help="query text; pass multiple times to serve the batch in ONE Spark job")
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--field", default="text",
+                   help="analyzed field to score (BM25 doc length still "
+                        "comes from the index's primary field)")
     s.add_argument("--no-prune", action="store_true")
     s.add_argument("--dry-run", action="store_true",
                    help="print planned stages + block-scan plan without executing")
@@ -553,6 +607,20 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--chunk", type=int, default=100_000,
                     help="auto-flush pending document ops at this many rows")
     rp.set_defaults(fn=cmd_replay)
+
+    im = sub.add_parser(
+        "import",
+        help="import a JSON document file (NDJSON or the reference's "
+        "JSON-array format) — neosearch-import analog",
+    )
+    im.add_argument("--file", required=True)
+    im.add_argument("--index", required=True)
+    im.add_argument("--create", action="store_true",
+                    help="create the index (else upsert into an existing one)")
+    im.add_argument("--fields", default=None,
+                    help="analyzed fields for --create (default: infer)")
+    im.add_argument("--exact-fields", default=None)
+    im.set_defaults(fn=cmd_import)
 
     y = sub.add_parser("synth", help="generate deterministic transcripts")
     y.add_argument("--out", required=True)

@@ -842,8 +842,10 @@ def _upsert_docs_locked(
     ]
 
     new_docs = new_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    from .build import primary_dl_col
+
     batch = new_docs.withColumn(
-        "dl", doc_len_col(F.col(analyzed_fields[0]))
+        "dl", primary_dl_col(new_docs, analyzed_fields[0])
     ).persist()
     # same bounds guards as IndexBuilder.build (ADVICE r3): an upsert
     # batch must fail as loudly as a build would

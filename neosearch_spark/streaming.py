@@ -26,7 +26,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analyzer import doc_len_col
+from .analyzer import doc_len_col  # noqa: F401 — re-exported for tests
+from .build import primary_dl_col as _primary_dl
 from .build import IndexBuilder, _tf_stream
 
 
@@ -131,7 +132,7 @@ def delta_sink(
     final = os.path.join(dld, f"epoch={int(epoch_id)}")
     (
         batch.select(
-            "doc_id", doc_len_col(F.col(analyzed_fields[0])).alias("dl")
+            "doc_id", _primary_dl(batch, analyzed_fields[0]).alias("dl")
         )
         .observe(obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .write.mode("overwrite")

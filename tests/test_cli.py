@@ -286,3 +286,51 @@ def test_repl_failed_statement_keeps_session(spark, tmp_path):
     text = out.getvalue()
     assert text.startswith("ERROR: ")
     assert "Result[idx]: [5]" in text
+
+
+def test_import_subcommand_reference_sample(spark, tmp_path, capsys):
+    """`import` — the neosearch-import analog — ingests the
+    reference's own JSON-array sample (typed fields incl. an
+    array<string> authors column) with schema-inferred fields, then
+    upserts an NDJSON batch into the same index."""
+    d = str(tmp_path / "import_idx")
+    rc = cli.main([
+        "import", "--file",
+        "/root/reference/cmd/import/samples/operating_systems.json",
+        "--index", d, "--create",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["created"] is True and out["docs"] == 5
+
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, d)
+    # analyzed string field (4 of the 5 OSes are family=unix)
+    assert [r["doc_id"] for r in si.term_docs("unix", field="family").collect()] == [1, 2, 3, 4]
+    # array element indexing (authors), analyzer-lowered
+    got = {r["doc_id"] for r in si.term_docs("thompson", field="authors").collect()}
+    assert got == {1, 2}
+    # typed numeric field → exact term (reflection dispatch)
+    assert [r["doc_id"] for r in si.term_docs("1971", field="year").collect()] == [1]
+    assert [r["doc_id"] for r in si.term_docs("1993", field="year").collect()] == [4, 5]
+
+    # NDJSON upsert into the existing index (id 2 replaced, 6 new)
+    nd = tmp_path / "more.jsonl"
+    nd.write_text(
+        '{"id": 2, "name": "Plan 9", "family": "unix", "kernel": "plan9",'
+        ' "kernelType": "Hybrid", "year": 1992, "authors": ["Rob Pike"]}\n'
+        '{"id": 6, "name": "Linux", "family": "unix", "kernel": "linux",'
+        ' "kernelType": "monolithic", "year": 1991,'
+        ' "authors": ["Linus Torvalds"]}\n'
+    )
+    rc = cli.main(["import", "--file", str(nd), "--index", d])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["created"] is False and out["docs"] == 2
+
+    si = SparkIndex(spark, d)
+    assert si.n_docs == 6
+    assert {r["doc_id"] for r in si.term_docs("thompson", field="authors").collect()} == {1}
+    assert {r["doc_id"] for r in si.term_docs("pike", field="authors").collect()} == {2}
+    assert [r["doc_id"] for r in si.term_docs("1991", field="year").collect()] == [6]

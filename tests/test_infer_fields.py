@@ -63,7 +63,11 @@ def test_infer_fields_mapping(spark):
     docs = spark.createDataFrame(ROWS, SCHEMA)
     inf = infer_fields(docs.schema)
     # strings (incl. struct-nested dotted path + array<string>) analyzed
-    assert inf["analyzed_fields"] == ["description", "meta.author", "tags", "title"]
+    # scalar strings (incl. dotted struct paths) take the primary
+    # slots; array<string> fields sort after (r5: an array primary
+    # would measure BM25 doc length over joined elements — legal but
+    # not the natural choice when a scalar string exists)
+    assert inf["analyzed_fields"] == ["description", "meta.author", "title", "tags"]
     # typed top-level columns exact with their cast kind; doc_id skipped
     assert inf["exact_fields"] == ["score", "active", "n", "created"]
     assert inf["typed_fields"] == {
