@@ -78,11 +78,19 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, spark, root: str, host: str = "127.0.0.1",
-                 port: int = 0, default_k: int = 10):
+                 port: int = 0, default_k: int = 10,
+                 max_indices_open: int = 50):
+        from collections import OrderedDict
+
         self.spark = spark
         self.root = root
         self.default_k = default_k
-        self.handles: dict[str, object] = {}
+        # LRU of open index handles, capped like the reference's
+        # MaxIndicesOpen (config.go:22-24 default 50, cache/lru.go):
+        # each handle carries its term/span/result memos, so an
+        # unbounded map would grow driver memory with the index count
+        self.max_indices_open = int(max_indices_open)
+        self.handles: "OrderedDict[str, object]" = OrderedDict()
         # mutations (create/add/delete) serialize behind one lock —
         # searches stay concurrent; the maintenance layer's writer
         # lock already guards cross-PROCESS writers, this guards
@@ -112,6 +120,10 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         if h is None:
             h = SparkIndex(self.spark, self.index_dir(name), result_cache=4096)
             self.handles[name] = h
+            if len(self.handles) > self.max_indices_open:
+                self.handles.popitem(last=False)  # reference LRU evict
+        else:
+            self.handles.move_to_end(name)
         return h
 
     def invalidate(self, name: str) -> None:
@@ -383,9 +395,11 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_http(spark, root: str, host: str = "127.0.0.1", port: int = 0,
-               default_k: int = 10) -> NeoSearchHTTPServer:
+               default_k: int = 10,
+               max_indices_open: int = 50) -> NeoSearchHTTPServer:
     """Build (but don't run) the HTTP server — callers own the loop:
     ``srv.serve_forever()`` blocking, or a daemon thread in tests.
     ``port=0`` binds an ephemeral port (``srv.server_address[1]``)."""
     return NeoSearchHTTPServer(spark, root, host=host, port=port,
-                               default_k=default_k)
+                               default_k=default_k,
+                               max_indices_open=max_indices_open)

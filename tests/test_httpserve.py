@@ -201,3 +201,27 @@ def test_cross_surface_roundtrip_http_dump_replay(spark, http_srv, tmp_path):
             assert sorted(r["doc_id"] for r in a["results"]) == sorted(
                 r["doc_id"] for r in b["results"]
             )
+
+
+def test_handle_lru_caps_open_indices(spark, tmp_path):
+    """Open index handles are LRU-capped like the reference's
+    MaxIndicesOpen (config.go:22-24, cache/lru.go): the N+1th open
+    evicts the least-recently-used handle; a re-open works and
+    returns fresh, correct results."""
+    root = str(tmp_path / "lru_root")
+    for n in ("idxa", "idxb", "idxc"):
+        docs = assign_doc_ids(synth_transcripts(spark, 40, seed=1))
+        IndexBuilder(f"{root}/{n}", span=32).build(docs)
+    srv = serve_http(spark, root, port=0, max_indices_open=2)
+    try:
+        a = srv.open("idxa")
+        srv.open("idxb")
+        srv.open("idxa")          # touch: idxb becomes LRU
+        srv.open("idxc")          # evicts idxb, not idxa
+        assert set(srv.handles) == {"idxa", "idxc"}
+        assert srv.handles["idxa"] is a
+        b2 = srv.open("idxb")     # re-open after eviction
+        assert set(srv.handles) == {"idxc", "idxb"} or len(srv.handles) == 2
+        assert b2.n_docs == 40
+    finally:
+        srv.server_close()
