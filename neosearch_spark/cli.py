@@ -400,7 +400,7 @@ def cmd_dump(args) -> int:
     from .nscript import dump_ns
 
     spark = _spark(args)
-    n = dump_ns(spark, args.index, args.out, name=args.name)
+    n = dump_ns(spark, args.index, args.out, name=args.name, raw=args.raw)
     print(json.dumps({"status": "ok", "docs": n, "out": args.out}))
     return 0
 
@@ -595,6 +595,10 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--out", required=True)
     dp.add_argument("--name", default="index",
                     help="index name used in the 'using <name>....' targets")
+    dp.add_argument("--raw", action="store_true",
+                    help="append the .idx posting stream as mergeset "
+                         "statements (the reference's complete KV dump "
+                         "form); our replay skips them as derived data")
     dp.set_defaults(fn=cmd_dump)
 
     rp = sub.add_parser("replay", help="process a .ns command file")

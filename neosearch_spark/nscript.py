@@ -315,13 +315,28 @@ def _has_parquet(root: str) -> bool:
 
 
 def dump_ns(
-    spark: SparkSession, index_dir: str, out_path: str, name: str = "index"
+    spark: SparkSession, index_dir: str, out_path: str, name: str = "index",
+    raw: bool = False,
 ) -> int:
     """Write the index's replayable ``.ns`` document stream: one
     ``using <name>.document.db set <doc_id> "<json>";`` line per
     stored document (doc_id order), wrapped in ``batch`` /
     ``flushbatch``.  Internal columns (``dl``, ``doc_part``) are
     derived data and stay out of the dump.  Returns the doc count.
+
+    ``raw=True`` additionally appends the ``.idx`` posting stream in
+    the reference's own KV-dump form — one ``using <name>.<field>.idx
+    mergeset "<term>" <doc_id>;`` statement per posting, (field,
+    term, doc_id)-ordered, each field's run wrapped in ``batch`` /
+    ``flushbatch`` — so the dump is the reference's COMPLETE
+    byte-level store dump (``docs/dump-restore.md:5-17``): a
+    reference engine replaying it rebuilds both ``document.db`` and
+    every ``.idx`` database.  Replaying it HERE still counts-and-
+    skips the mergesets as derived data (module docstring) and
+    rebuilds identical postings from the document stream — asserted
+    by test.  The posting stream is decoded distributed and streamed
+    through ``toLocalIterator`` like the doc stream (bounded driver
+    memory; the full sort is migration-tool cost, not a hot path).
 
     Refuses an index holding documents the dump CANNOT carry:
     streamed docs live as postings + ``doc_len_extra`` rows with no
@@ -378,6 +393,38 @@ def dump_ns(
             )
             n += 1
         f.write(f"using {name}.document.db flushbatch;\n")
+        if raw:
+            from .query import SparkIndex
+
+            post = (
+                SparkIndex(spark, index_dir)
+                .postings()
+                .orderBy("field", "term", "doc_id")
+            )
+            cur_db: str | None = None
+            for row in post.toLocalIterator():
+                db = f'{row["field"]}.idx'
+                if db != cur_db and not re.fullmatch(
+                    r"[A-Za-z0-9_.\-]+", row["field"]
+                ):
+                    # same loud-failure contract as the name guard
+                    # above: a field that can't lex inside the word
+                    # token would produce an unparseable dump
+                    raise ValueError(
+                        f"field name does not lex as a .ns using "
+                        f"target: {row['field']!r}"
+                    )
+                if db != cur_db:
+                    if cur_db is not None:
+                        f.write(f"using {name}.{cur_db} flushbatch;\n")
+                    f.write(f"using {name}.{db} batch;\n")
+                    cur_db = db
+                f.write(
+                    f'using {name}.{db} mergeset '
+                    f'"{_ns_escape(row["term"])}" {row["doc_id"]};\n'
+                )
+            if cur_db is not None:
+                f.write(f"using {name}.{cur_db} flushbatch;\n")
     os.replace(tmp, out_path)
     return n
 

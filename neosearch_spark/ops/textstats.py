@@ -36,7 +36,13 @@ def quality_stats(docs: DataFrame, field: str = "text", round_to: int = 6) -> Da
     for each of its 4 uses, and CollapseProject keeps the two-stage
     shape split because the aliases are non-cheap and multiply
     referenced.  A/B at sf0.1 (5k docs, local[32], min-of-3, noop
-    sink): single-select 1.03 s → two-stage 0.829 s, identical rows."""
+    sink): single-select 1.03 s → two-stage 0.829 s, identical rows.
+
+    Measured and REJECTED (r5): replacing the stopword
+    ``array_contains`` linear scan with ``isin`` (Catalyst In→InSet
+    hash lookup) — identical rows, 0.372 s vs 0.389 s min-of-3 at
+    sf0.1, i.e. no win; the 30-element scan is not the bottleneck at
+    this vocabulary size, so the simpler expression stays."""
     base = docs.select(
         "doc_id",
         F.filter(tokens_col(F.col(field)), lambda t: t != "").alias("_toks"),

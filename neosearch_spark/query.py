@@ -249,6 +249,17 @@ class SparkIndex:
 
     # ---------------- boolean surface (reference parity) ----------------
 
+    def postings(self, with_payload: bool = False) -> DataFrame:
+        """Full logical posting stream decoded from the stored blocks:
+        (field, term, doc_id[, tf, dl]) — the introspection/export
+        surface behind the raw ``.ns`` dump (``nscript.dump_ns(raw=
+        True)``), the Spark reading of iterating every ``.idx``
+        database's MergeSets (``store/utils.go:39-93``).  Distributed
+        (one vectorized decode per Arrow batch) — callers stream it
+        (``toLocalIterator``) or keep it a DataFrame; never
+        ``collect()`` it at scale."""
+        return self._decode(self.blocks, with_payload=with_payload)
+
     def term_docs(self, term: str, field: str = "text") -> DataFrame:
         """FilterTermID analog (``filter.go:10-42``): docID-ascending."""
         b = self._bucket_terms(self.blocks, [term]).where(

@@ -140,6 +140,40 @@ def test_dump_replay_roundtrip(spark, tmp_path):
     assert _sig(spark, dst) == _sig(spark, src)
 
 
+def test_dump_raw_posting_stream(spark, tmp_path):
+    # raw=True appends the reference's complete KV-dump form: every
+    # .idx posting as a mergeset statement (docs/dump-restore.md:5-17)
+    from neosearch_spark.query import SparkIndex
+
+    src, dst = tmp_path / "raw_src", tmp_path / "raw_dst"
+    _build_small(spark, src)
+    ns = tmp_path / "raw.ns"
+    dump_ns(spark, str(src), str(ns), name="sample", raw=True)
+    text = ns.read_text()
+    cmds = parse_ns(text)
+    merges = [c for c in cmds if c.verb == "mergeset"]
+    assert merges, "raw dump carries no posting statements"
+    assert all(
+        c.index == "sample" and c.database.endswith(".idx") for c in merges
+    )
+    # the statement stream IS the index's full posting multiset
+    got = sorted((c.database[: -len(".idx")], c.key, c.value) for c in merges)
+    want = sorted(
+        (r["field"], r["term"], r["doc_id"])
+        for r in SparkIndex(spark, str(src)).postings().collect()
+    )
+    assert got == want
+    # replaying the complete dump HERE rebuilds the identical index
+    # from the document stream alone — every raw posting write is
+    # counted as skipped derived data, none silently lost
+    res = replay_ns(
+        spark, str(dst), text,
+        build_kwargs={"exact_fields": ["role", "tool"], "span": 64},
+    )
+    assert res["n_skipped_derived"] == len(merges)
+    assert _sig(spark, dst) == _sig(spark, src)
+
+
 def test_replay_maintenance_and_gets(spark, tmp_path):
     idx = tmp_path / "r_idx"
     _build_small(spark, idx, n=40)
