@@ -94,6 +94,14 @@ def _eval_dsl(idx, dsl: dict):
     (field, term), = dsl.items()
     if isinstance(term, dict) and "$prefix" in term:
         return idx.prefix_docs(term["$prefix"], field=field)
+    if isinstance(term, (list, dict)):
+        # a typo'd operator ({"and": [...]} for {"$and": [...]})
+        # lands here as field="and", term=<list> — stringifying it
+        # would silently return 0 rows; fail loudly instead
+        raise ValueError(
+            f"field {field!r} has a non-scalar term {term!r} — operator "
+            "keys are $and/$or/$not/$xor, prefix is {'$prefix': ...}"
+        )
     return idx.term_docs(str(term), field=field)
 
 
@@ -109,9 +117,15 @@ def cmd_query(args) -> int:
         plan = ids._jdf.queryExecution().executedPlan().toString()
         print(json.dumps({"dry_run": True, "dsl": json.loads(args.dsl), "plan": plan}))
         return 0
-    docs = idx.get_docs(ids, limit=args.limit)
-    total = ids.count()
-    results = [r.asDict() for r in docs.collect()]
+    # persist the id set for the request: the doc materialization and
+    # the total would otherwise each re-run the full boolean plan
+    ids = ids.persist()
+    try:
+        docs = idx.get_docs(ids, limit=args.limit)
+        total = ids.count()
+        results = [r.asDict() for r in docs.collect()]
+    finally:
+        ids.unpersist()
     for r in results:
         r.pop("ts", None)  # not JSON-serializable without formatting
     print(json.dumps({"total": total, "results": results}, default=str))
@@ -460,17 +474,43 @@ def cmd_import(args) -> int:
             print(json.dumps({"error": "documents need an 'id' (or doc_id) key"}))
             return 2
         docs = docs.withColumnRenamed("id", "doc_id")
-    docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
-    n = docs.count()
+    # try_cast, not cast: under Spark 4 ANSI mode a malformed id
+    # (e.g. "doc-7") makes plain cast THROW mid-job with a raw
+    # Py4J traceback; try_cast yields NULL so the structured error
+    # below fires instead
+    docs = docs.withColumn("doc_id", F.col("doc_id").try_cast("long"))
+    # one agg covers the row count AND the id sanity check: a
+    # non-numeric id try_casts to NULL silently, and min/max-based
+    # bounds guards ignore nulls — without this check the import
+    # would report ok while building an unusable index
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.count("doc_id").alias("n_id")
+    ).collect()[0]
+    n = int(row["n"])
+    if int(row["n_id"]) != n:
+        print(
+            json.dumps(
+                {
+                    "error": f"{n - int(row['n_id'])} of {n} documents have "
+                    "a missing or non-numeric id (ids must cast to int64, "
+                    "the reference's uint64 key model)"
+                }
+            )
+        )
+        return 2
     if args.create:
         from .build import IndexBuilder
 
+        # same flag semantics as the replay/repl subcommands: the two
+        # field lists apply independently; schema inference only when
+        # NEITHER is given (infer=True resolves ALL field lists, so
+        # it must not clobber an explicit --exact-fields)
         kwargs = {}
         if args.fields:
             kwargs["analyzed_fields"] = args.fields.split(",")
-            if args.exact_fields:
-                kwargs["exact_fields"] = args.exact_fields.split(",")
-        else:
+        if args.exact_fields:
+            kwargs["exact_fields"] = args.exact_fields.split(",")
+        if not kwargs:
             kwargs["infer"] = True
         IndexBuilder(args.index, **kwargs).build(docs)
         print(json.dumps({"status": "ok", "created": True, "docs": n}))

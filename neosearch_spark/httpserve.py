@@ -91,6 +91,14 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         # unbounded map would grow driver memory with the index count
         self.max_indices_open = int(max_indices_open)
         self.handles: "OrderedDict[str, object]" = OrderedDict()
+        # the handle LRU is touched from every concurrent handler
+        # thread (get/insert/move_to_end/evict) — its own lock keeps
+        # a move_to_end from racing a concurrent invalidate/evict pop
+        # (KeyError on a valid request otherwise).  SparkIndex opens
+        # serialize behind it too: an open is one small job, and two
+        # threads opening the same index concurrently would just do
+        # the work twice.
+        self.handles_lock = threading.Lock()
         # mutations (create/add/delete) serialize behind one lock —
         # searches stay concurrent; the maintenance layer's writer
         # lock already guards cross-PROCESS writers, this guards
@@ -109,6 +117,15 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
             os.path.join(d, "create.json")
         )
 
+    def is_pending(self, name: str) -> bool:
+        """True for a two-phase-created index whose first document
+        batch hasn't arrived yet (create.json, no manifest): routes
+        answer it with empty-index semantics instead of letting
+        SparkIndex's manifest open leak a FileNotFoundError body."""
+        return not os.path.exists(
+            os.path.join(self.index_dir(name), "manifest.json")
+        )
+
     def open(self, name: str):
         """Cached SparkIndex handle (reopened after any mutation).
         The handle memoizes BM25 results (LRU, 4096 entries) — an
@@ -116,18 +133,22 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         invalidate the whole handle, memos included."""
         from .query import SparkIndex
 
-        h = self.handles.get(name)
-        if h is None:
-            h = SparkIndex(self.spark, self.index_dir(name), result_cache=4096)
-            self.handles[name] = h
-            if len(self.handles) > self.max_indices_open:
-                self.handles.popitem(last=False)  # reference LRU evict
-        else:
-            self.handles.move_to_end(name)
-        return h
+        with self.handles_lock:
+            h = self.handles.get(name)
+            if h is None:
+                h = SparkIndex(
+                    self.spark, self.index_dir(name), result_cache=4096
+                )
+                self.handles[name] = h
+                if len(self.handles) > self.max_indices_open:
+                    self.handles.popitem(last=False)  # reference LRU evict
+            else:
+                self.handles.move_to_end(name)
+            return h
 
     def invalidate(self, name: str) -> None:
-        self.handles.pop(name, None)
+        with self.handles_lock:
+            self.handles.pop(name, None)
 
     def build_kwargs(self, name: str) -> dict:
         cfg_path = os.path.join(self.index_dir(name), "create.json")
@@ -212,6 +233,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._missing(name)
             return
         try:
+            if doc_id is not None and srv.is_pending(name):
+                # created, nothing indexed yet: document gets (and
+                # their _analyze dry-run) answer with empty-index
+                # semantics — never a leaked manifest-open traceback
+                self._send({"error": f"document {doc_id} not found"}, 400)
+                return
             if analyze:
                 # GET /{index}/{id}/_analyze (get_analyze.go:27-76):
                 # the reference answers with the command a Get WOULD
@@ -344,6 +371,16 @@ class _Handler(BaseHTTPRequestHandler):
                 # the stdin serving loop's body → BM25 batch response
                 from .cli import handle_search_request
 
+                if srv.is_pending(name):
+                    qs = body["queries"]
+                    if not isinstance(qs, list):
+                        raise ValueError(
+                            '"queries" must be a non-empty list of strings'
+                        )
+                    self._send(
+                        {"batch": [{"query": q, "results": []} for q in qs]}
+                    )
+                    return
                 self._send(
                     handle_search_request(
                         srv.open(name), body, default_k=srv.default_k
@@ -359,15 +396,26 @@ class _Handler(BaseHTTPRequestHandler):
                     {"error": "Search 'query' field is not a JSON object"}, 400
                 )
                 return
+            if srv.is_pending(name):
+                self._send({"total": 0, "results": []})
+                return
             from .cli import _eval_dsl
 
             idx = srv.open(name)
-            ids = _eval_dsl(idx, body["query"])
-            limit = int(body.get("limit", 10))
-            docs = [
-                _public_doc(r) for r in idx.get_docs(ids, limit=limit).collect()
-            ]
-            self._send({"total": ids.count(), "results": docs})
+            # persist the id set for this request: the doc
+            # materialization and the total would otherwise each
+            # re-run the full boolean-DSL plan (2x the posting work)
+            ids = _eval_dsl(idx, body["query"]).persist()
+            try:
+                limit = int(body.get("limit", 10))
+                docs = [
+                    _public_doc(r)
+                    for r in idx.get_docs(ids, limit=limit).collect()
+                ]
+                total = ids.count()
+            finally:
+                ids.unpersist()
+            self._send({"total": total, "results": docs})
         except Exception as e:  # noqa: BLE001
             self._send({"error": str(e)}, 400)
 

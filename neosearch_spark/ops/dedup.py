@@ -244,27 +244,30 @@ def jaccard_pairs(
         )
     else:
         dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_df"))
-        # one-time per-process recall notice when the default cap is
-        # LIVE (some token actually exceeds it): pairs whose every
-        # shared token is ubiquitous are silently missed otherwise —
-        # exact-mode users migrating from the uncapped default must
-        # see the change.  The probe stops at the first over-cap
-        # token (limit 1) and never repeats in this process.
+        # one-time per-process recall notice: the cap trades recall
+        # (pairs whose EVERY shared token is ubiquitous are missed)
+        # and users migrating from the old uncapped default must see
+        # that.  Issued plan-side, unconditionally — an earlier
+        # version probed whether some token actually exceeds the cap,
+        # but that probe ran the whole tokenize→distinct→groupBy
+        # pipeline EAGERLY at call time (breaking laziness) and,
+        # uncached, a second time when the result was evaluated —
+        # doubling the operator's most expensive stage to decide a
+        # log line.
         global _JACCARD_CAP_WARNED
         if not _JACCARD_CAP_WARNED:
             _JACCARD_CAP_WARNED = True
-            if dfs.where(F.col("token_df") > max_token_df).limit(1).count():
-                import warnings
+            import warnings
 
-                warnings.warn(
-                    f"jaccard_pairs: max_token_df={max_token_df} excludes "
-                    "at least one token from candidate generation; pairs "
-                    "whose EVERY shared token exceeds the cap are missed "
-                    "(scores of surviving pairs stay exact). Pass "
-                    "max_token_df=None for exact all-pairs generation on "
-                    "bounded inputs.",
-                    stacklevel=2,
-                )
+            warnings.warn(
+                f"jaccard_pairs: max_token_df={max_token_df} — tokens "
+                "above the cap are excluded from candidate generation, "
+                "so pairs whose EVERY shared token exceeds it are missed "
+                "(scores of surviving pairs stay exact). Pass "
+                "max_token_df=None for exact all-pairs generation on "
+                "bounded inputs.",
+                stacklevel=2,
+            )
         cand_toks = (
             toks.join(dfs.where(F.col("token_df") <= max_token_df), "token")
             .select("doc_id", "token")

@@ -134,12 +134,28 @@ def delta_sink(
         batch.select(
             "doc_id", _primary_dl(batch, analyzed_fields[0]).alias("dl")
         )
-        .observe(obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .observe(
+            obs,
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("doc_id").alias("n_id"),
+        )
         .write.mode("overwrite")
         .parquet(tmp)
     )
     try:
         got = obs.get
+        # min/max skip NULLs, so a batch of all-null ids would pass
+        # the bounds check and write null doc_ids into the delta —
+        # count both ways and fail the batch loudly instead
+        if got.get("n", 0) != got.get("n_id", 0):
+            raise ValueError(
+                f"{got['n'] - got['n_id']} of {got['n']} rows in the "
+                "stream batch have NULL doc_id (non-numeric ids cast "
+                "to NULL silently) — every streamed document needs an "
+                "int64 doc_id"
+            )
         validate_doc_id_bounds(
             got.get("lo"), got.get("hi"), docs_span if docs_span else 1 << 32
         )

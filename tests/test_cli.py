@@ -334,3 +334,60 @@ def test_import_subcommand_reference_sample(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in si.term_docs("thompson", field="authors").collect()} == {1}
     assert {r["doc_id"] for r in si.term_docs("pike", field="authors").collect()} == {2}
     assert [r["doc_id"] for r in si.term_docs("1991", field="year").collect()] == [6]
+
+
+def test_import_rejects_non_numeric_ids(spark, tmp_path, capsys):
+    """String ids cast to NULL silently under `.cast("long")`; the
+    import must fail loudly instead of reporting ok while building an
+    index whose every doc_id is NULL (min/max bounds guards skip
+    nulls, so nothing downstream would catch it)."""
+    nd = tmp_path / "bad_ids.jsonl"
+    nd.write_text(
+        '{"id": "doc-1", "text": "alpha beta"}\n'
+        '{"id": 2, "text": "gamma"}\n'
+    )
+    d = str(tmp_path / "bad_idx")
+    rc = cli.main(["import", "--file", str(nd), "--index", d, "--create"])
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out)
+    assert "non-numeric id" in out["error"] and "1 of 2" in out["error"]
+    import os
+
+    assert not os.path.exists(os.path.join(d, "manifest.json"))
+
+
+def test_import_exact_fields_without_fields_flag(spark, tmp_path, capsys):
+    """--exact-fields must apply on its own (same independent flag
+    semantics as replay/repl); it was silently dropped when --fields
+    was absent."""
+    nd = tmp_path / "exact.jsonl"
+    nd.write_text(
+        '{"id": 1, "text": "alpha beta", "role": "User"}\n'
+        '{"id": 2, "text": "alpha", "role": "Assistant"}\n'
+    )
+    d = str(tmp_path / "exact_idx")
+    rc = cli.main([
+        "import", "--file", str(nd), "--index", d, "--create",
+        "--exact-fields", "role",
+    ])
+    assert rc == 0
+    from neosearch_spark.query import SparkIndex
+
+    si = SparkIndex(spark, d)
+    # exact field: whole-value term, NOT analyzer-lowered
+    assert [r["doc_id"] for r in si.term_docs("User", field="role").collect()] == [1]
+    assert si.term_docs("user", field="role").count() == 0
+    # default analyzed field still works
+    assert {r["doc_id"] for r in si.term_docs("alpha").collect()} == {1, 2}
+
+
+def test_eval_dsl_rejects_typod_operator_keys():
+    """{"and": [...]} (missing the $) must raise, not silently treat
+    "and" as a field whose term is the stringified clause list (which
+    returns 0 rows and looks like an empty result)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="non-scalar term"):
+        cli._eval_dsl(None, {"and": [{"text": "alpha"}]})
+    with pytest.raises(ValueError, match="non-scalar term"):
+        cli._eval_dsl(None, {"text": {"prefix": "al"}})  # $prefix typo

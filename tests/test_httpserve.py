@@ -156,6 +156,30 @@ def test_create_add_search_delete_lifecycle(http_srv):
     assert "doesn't exists" in _req(base + "/lifeidx")["error"]
 
 
+def test_pending_index_answers_empty_not_traceback(http_srv):
+    """A two-phase-created index (create.json, no manifest yet) must
+    answer search/get with empty-index semantics — not leak the
+    SparkIndex manifest-open FileNotFoundError (and the server's
+    filesystem layout) into the response body."""
+    srv, base = http_srv
+    assert "created" in _req(base + "/pendingidx", "PUT", {"fields": ["text"]})[
+        "status"
+    ]
+    out = _req(base + "/pendingidx", "POST", {"queries": ["hello"], "k": 5})
+    assert out == {"batch": [{"query": "hello", "results": []}]}
+    out = _req(base + "/pendingidx", "POST", {"query": {"text": "hello"}})
+    assert out == {"total": 0, "results": []}
+    out = _req(base + "/pendingidx/7")
+    assert out["error"] == "document 7 not found"
+    out = _req(base + "/pendingidx/7/_analyze")
+    assert "not found" in out["error"]
+    for body in (out,):
+        assert "manifest.json" not in json.dumps(body)
+    assert _req(base + "/pendingidx", "DELETE")["status"] == (
+        "Index 'pendingidx' deleted."
+    )
+
+
 def test_cross_surface_roundtrip_http_dump_replay(spark, http_srv, tmp_path):
     """The three ingestion surfaces compose: documents added over
     HTTP → `.ns` dump → streamed replay into a fresh index → the

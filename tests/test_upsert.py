@@ -505,3 +505,12 @@ def test_upsert_and_delta_reject_pathological_doc_ids(spark, tmp_path):
         upsert_docs(spark, d, sparse)
     with pytest.raises(ValueError, match="overflows the int doc_part"):
         delta_sink(sparse, 0, d, ["text"])
+
+    # NULL ids slip past min/max bounds (aggregates skip nulls): the
+    # delta sink must count-check and fail the batch loudly instead of
+    # writing null doc_ids into the delta
+    nullid = spark.createDataFrame(
+        [(None, "e f"), (7, "g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        delta_sink(nullid, 0, d, ["text"])
