@@ -230,20 +230,30 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def validate_search_request(
+    req: dict, default_k: int = 10
+) -> tuple[list, int]:
+    """Shared request validation for every serving transport (stdin
+    loop, HTTP live path, HTTP pending-index fast path) — one
+    definition so a request can't validate differently depending on
+    index state.  Raises on malformed requests."""
+    queries = req["queries"]
+    # a bare string would iterate per CHARACTER downstream and
+    # "succeed" with one garbage result set per letter
+    if not isinstance(queries, list) or not queries or not all(
+        isinstance(q, str) for q in queries
+    ):
+        raise ValueError('"queries" must be a non-empty list of strings')
+    return queries, int(req.get("k", default_k))
+
+
 def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
     """One serving request against a warm ``SparkIndex`` → response
     dict — the transport-independent core shared by the stdin loop
     (``serve_loop``) and the HTTP service (``httpserve``).  Request:
     ``{"queries": [...], "k": N}``; response: ``{"batch": [...]}``.
     Raises on malformed requests — the caller owns the error frame."""
-    queries = req["queries"]
-    # a bare string would iterate per CHARACTER below and "succeed"
-    # with one garbage result set per letter
-    if not isinstance(queries, list) or not queries or not all(
-        isinstance(q, str) for q in queries
-    ):
-        raise ValueError('"queries" must be a non-empty list of strings')
-    k = int(req.get("k", default_k))
+    queries, k = validate_search_request(req, default_k)
     if len(queries) == 1:
         rows = [
             {"doc_id": r["doc_id"], "score": r["score"]}

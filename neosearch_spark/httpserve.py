@@ -99,6 +99,10 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         # threads opening the same index concurrently would just do
         # the work twice.
         self.handles_lock = threading.Lock()
+        # per-name invalidation generation (guarded by handles_lock):
+        # open() constructs outside the lock, so it must detect an
+        # invalidate that landed mid-construction and skip caching
+        self.handle_gen: dict = {}
         # mutations (create/add/delete) serialize behind one lock —
         # searches stay concurrent; the maintenance layer's writer
         # lock already guards cross-PROCESS writers, this guards
@@ -121,10 +125,14 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         """True for a two-phase-created index whose first document
         batch hasn't arrived yet (create.json, no manifest): routes
         answer it with empty-index semantics instead of letting
-        SparkIndex's manifest open leak a FileNotFoundError body."""
-        return not os.path.exists(
-            os.path.join(self.index_dir(name), "manifest.json")
-        )
+        SparkIndex's manifest open leak a FileNotFoundError body.
+        Requires create.json to be PRESENT — an index deleted by a
+        concurrent DELETE (both files gone) must fall through to the
+        open() error path, not silently answer as empty."""
+        d = self.index_dir(name)
+        return os.path.exists(
+            os.path.join(d, "create.json")
+        ) and not os.path.exists(os.path.join(d, "manifest.json"))
 
     def open(self, name: str):
         """Cached SparkIndex handle (reopened after any mutation).
@@ -133,21 +141,38 @@ class NeoSearchHTTPServer(ThreadingHTTPServer):
         invalidate the whole handle, memos included."""
         from .query import SparkIndex
 
+        # construction happens OUTSIDE the lock: a cold open runs a
+        # manifest read + a small Spark job, and holding the global
+        # lock across it would stall cache hits for every OTHER index
+        # behind one slow open.  Two threads cold-opening the SAME
+        # index may construct twice; the second insert defers to the
+        # first (duplicate work, never duplicate cached handles).
         with self.handles_lock:
             h = self.handles.get(name)
-            if h is None:
-                h = SparkIndex(
-                    self.spark, self.index_dir(name), result_cache=4096
-                )
-                self.handles[name] = h
-                if len(self.handles) > self.max_indices_open:
-                    self.handles.popitem(last=False)  # reference LRU evict
-            else:
+            if h is not None:
                 self.handles.move_to_end(name)
+                return h
+            gen = self.handle_gen.get(name, 0)
+        h = SparkIndex(self.spark, self.index_dir(name), result_cache=4096)
+        with self.handles_lock:
+            cur = self.handles.get(name)
+            if cur is not None:
+                self.handles.move_to_end(name)
+                return cur
+            if self.handle_gen.get(name, 0) != gen:
+                # a mutation invalidated this name while we were
+                # constructing: the handle may predate the mutation.
+                # It is still linearizable for THIS request (the read
+                # overlapped the write) — serve it, but never cache it
+                return h
+            self.handles[name] = h
+            if len(self.handles) > self.max_indices_open:
+                self.handles.popitem(last=False)  # reference LRU evict
             return h
 
     def invalidate(self, name: str) -> None:
         with self.handles_lock:
+            self.handle_gen[name] = self.handle_gen.get(name, 0) + 1
             self.handles.pop(name, None)
 
     def build_kwargs(self, name: str) -> dict:
@@ -233,12 +258,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._missing(name)
             return
         try:
-            if doc_id is not None and srv.is_pending(name):
-                # created, nothing indexed yet: document gets (and
-                # their _analyze dry-run) answer with empty-index
-                # semantics — never a leaked manifest-open traceback
-                self._send({"error": f"document {doc_id} not found"}, 400)
-                return
+            if doc_id is not None:
+                # validate the id ONCE for both the doc-get and the
+                # _analyze route, before any index-state branch — the
+                # error contract must not depend on pending state,
+                # and the raw path segment is never echoed back
+                try:
+                    int_id = int(doc_id)
+                except ValueError:
+                    self._send({"error": "Invalid document id"}, 400)
+                    return
             if analyze:
                 # GET /{index}/{id}/_analyze (get_analyze.go:27-76):
                 # the reference answers with the command a Get WOULD
@@ -247,10 +276,12 @@ class _Handler(BaseHTTPRequestHandler):
                 # engine's dry-run surface: the physical plan of the
                 # doc-store point lookup (pushed doc_id filter), no
                 # job run.
-                try:
-                    int_id = int(doc_id)
-                except ValueError:
-                    self._send({"error": f"Invalid document id: {doc_id}"}, 400)
+                command = f"using {name}.document.db get {int_id}"
+                if srv.is_pending(name):
+                    # nothing indexed yet: _analyze never executes, so
+                    # the statement text is still the full answer —
+                    # there is just no physical plan to show
+                    self._send({"command": command, "plan": None})
                     return
                 idx = srv.open(name)
                 ids = srv.spark.createDataFrame([(int_id,)], "doc_id long")
@@ -260,17 +291,10 @@ class _Handler(BaseHTTPRequestHandler):
                     .executedPlan()
                     .toString()
                 )
-                self._send(
-                    {
-                        "command": f"using {name}.document.db get {int_id}",
-                        "plan": plan,
-                    }
-                )
+                self._send({"command": command, "plan": plan})
                 return
             if doc_id is None:
-                if not os.path.exists(
-                    os.path.join(srv.index_dir(name), "manifest.json")
-                ):
+                if srv.is_pending(name):
                     self._send({"name": name, "status": "created", "n_docs": 0})
                     return
                 idx = srv.open(name)
@@ -283,10 +307,11 @@ class _Handler(BaseHTTPRequestHandler):
                     }
                 )
                 return
-            try:
-                int_id = int(doc_id)
-            except ValueError:
-                self._send({"error": "Invalid document id"}, 400)
+            if srv.is_pending(name):
+                # created, nothing indexed yet: the document cannot
+                # exist — same error as a live index's miss, never a
+                # leaked manifest-open traceback
+                self._send({"error": f"document {int_id} not found"}, 400)
                 return
             idx = srv.open(name)
             rows = idx.get_docs(
@@ -369,14 +394,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if "queries" in body:
                 # the stdin serving loop's body → BM25 batch response
-                from .cli import handle_search_request
+                from .cli import handle_search_request, validate_search_request
 
                 if srv.is_pending(name):
-                    qs = body["queries"]
-                    if not isinstance(qs, list):
-                        raise ValueError(
-                            '"queries" must be a non-empty list of strings'
-                        )
+                    # full request validation FIRST (shared with the
+                    # live path) — a malformed body must 400 the same
+                    # way regardless of index state
+                    qs, _k = validate_search_request(
+                        body, default_k=srv.default_k
+                    )
                     self._send(
                         {"batch": [{"query": q, "results": []} for q in qs]}
                     )
@@ -397,6 +423,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             if srv.is_pending(name):
+                int(body.get("limit", 10))  # same type check as live
                 self._send({"total": 0, "results": []})
                 return
             from .cli import _eval_dsl

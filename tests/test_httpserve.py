@@ -165,15 +165,35 @@ def test_pending_index_answers_empty_not_traceback(http_srv):
     assert "created" in _req(base + "/pendingidx", "PUT", {"fields": ["text"]})[
         "status"
     ]
+    responses = []
     out = _req(base + "/pendingidx", "POST", {"queries": ["hello"], "k": 5})
     assert out == {"batch": [{"query": "hello", "results": []}]}
+    responses.append(out)
+    # malformed batch bodies must 400 the SAME way as on a live index
+    # (shared validate_search_request), not succeed with garbage
+    out = _req(base + "/pendingidx", "POST", {"queries": []})
+    assert "non-empty list of strings" in out["error"]
+    out = _req(base + "/pendingidx", "POST", {"queries": [123]})
+    assert "non-empty list of strings" in out["error"]
     out = _req(base + "/pendingidx", "POST", {"query": {"text": "hello"}})
     assert out == {"total": 0, "results": []}
+    responses.append(out)
     out = _req(base + "/pendingidx/7")
     assert out["error"] == "document 7 not found"
+    responses.append(out)
+    # id validation is state-independent: malformed ids get the same
+    # error as on a live index, never the raw path segment echoed back
+    out = _req(base + "/pendingidx/abc")
+    assert out == {"error": "Invalid document id"}
+    # _analyze keeps its dry-run contract on a pending index: the
+    # statement text IS the answer (nothing executes), plan is null
     out = _req(base + "/pendingidx/7/_analyze")
-    assert "not found" in out["error"]
-    for body in (out,):
+    assert out == {
+        "command": "using pendingidx.document.db get 7",
+        "plan": None,
+    }
+    responses.append(out)
+    for body in responses:
         assert "manifest.json" not in json.dumps(body)
     assert _req(base + "/pendingidx", "DELETE")["status"] == (
         "Index 'pendingidx' deleted."
