@@ -269,3 +269,45 @@ def test_handle_lru_caps_open_indices(spark, tmp_path):
         assert b2.n_docs == 40
     finally:
         srv.server_close()
+
+
+def test_invalidate_mid_construction_never_caches(spark, tmp_path, monkeypatch):
+    """open() constructs SparkIndex OUTSIDE the handles lock; a
+    mutation that invalidates the name while construction is in
+    flight must prevent the stale handle from entering the cache
+    (it may still serve the overlapping request — linearizable),
+    and the next open must construct fresh and cache normally."""
+    import neosearch_spark.query as query_mod
+    from neosearch_spark.httpserve import serve_http
+
+    srv = serve_http(spark, str(tmp_path / "race_root"), port=0)
+    started, release = threading.Event(), threading.Event()
+    built = []
+
+    class SlowIndex:
+        def __init__(self, spark_, path, result_cache=0):
+            built.append(self)
+            if len(built) == 1:  # only the first open blocks
+                started.set()
+                assert release.wait(10)
+
+    monkeypatch.setattr(query_mod, "SparkIndex", SlowIndex)
+    try:
+        out = {}
+        t = threading.Thread(target=lambda: out.setdefault("h", srv.open("raceidx")))
+        t.start()
+        assert started.wait(10)
+        srv.invalidate("raceidx")  # lands mid-construction
+        release.set()
+        t.join(10)
+        # the overlapped open still got a handle, but it was NOT cached
+        assert isinstance(out["h"], SlowIndex)
+        assert "raceidx" not in srv.handles
+        # a subsequent open constructs a NEW handle and caches it
+        h2 = srv.open("raceidx")
+        assert h2 is not out["h"]
+        assert srv.handles["raceidx"] is h2
+        # and a third open is a pure cache hit (no new construction)
+        assert srv.open("raceidx") is h2 and len(built) == 2
+    finally:
+        srv.server_close()
