@@ -429,3 +429,117 @@ def test_iter_parse_ns_large_multichunk_payload_linear():
     assert cmds[0].value == payload.replace('\\"', '"').replace("\\\\", "\\")
     assert cmds[1].verb == "get"
     assert dt < 5.0, f"streaming parse took {dt:.1f}s — quadratic rescan?"
+
+
+# ------------------------------------------- property-based round-trip
+
+import re  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from neosearch_spark.nscript import iter_parse_ns  # noqa: E402
+
+_WORD = r"[A-Za-z_][A-Za-z0-9_\-]{0,8}"
+_WORD_DOTTED = r"[A-Za-z_][A-Za-z0-9_.\-]{0,8}"
+
+
+def _esc(s: str, q: str) -> str:
+    return s.replace("\\", "\\\\").replace(q, "\\" + q)
+
+
+@st.composite
+def _ns_statement(draw):
+    """One valid statement → (Command expected, formatted text)."""
+    index = draw(st.from_regex(_WORD, fullmatch=True))
+    quoted_target = draw(st.booleans())
+    if quoted_target:
+        # quoted targets may carry arbitrary text in the db part
+        # (split still happens at the FIRST dot of the unquoted form,
+        # and the index part above is dot-free)
+        db = draw(st.text(min_size=1, max_size=10))
+        tgt = f'"{_esc(index + "." + db, chr(34))}"'
+    else:
+        db = draw(st.from_regex(_WORD_DOTTED, fullmatch=True))
+        tgt = f"{index}.{db}"
+    verb = draw(st.sampled_from(["set", "mergeset", "get", "delete",
+                                 "batch", "flushbatch"]))
+    arity = {"set": 2, "mergeset": 2, "get": 1, "delete": 1,
+             "batch": 0, "flushbatch": 0}[verb]
+
+    def fmt_arg(v):
+        if isinstance(v, int):
+            style = draw(st.sampled_from(["bare", "uint", "int"]))
+            if style == "uint" and v >= 0:
+                return f"uint({v})"
+            if style == "int":
+                return f"int( {v} )"  # internal spaces are legal
+            return str(v)
+        if draw(st.booleans()):
+            return f'"{_esc(v, chr(34))}"'
+        return f"'{_esc(v, chr(39))}'"
+
+    args, fargs = [], []
+    for _ in range(arity):
+        v = draw(
+            st.one_of(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.text(max_size=12),
+                # bare-word form (incl. the literal word 'using',
+                # which must NOT split an arity-incomplete statement)
+                st.from_regex(_WORD_DOTTED, fullmatch=True),
+                st.just("using"),
+            )
+        )
+        if isinstance(v, str) and draw(st.booleans()) and re.fullmatch(
+            _WORD_DOTTED, v
+        ):
+            fargs.append(v)  # bare word
+        else:
+            fargs.append(fmt_arg(v))
+        args.append(v)
+    cmd = Command(
+        index=index, database=db, verb=verb,
+        key=args[0] if arity > 0 else None,
+        value=args[1] if arity > 1 else None,
+    )
+    ws = st.sampled_from([" ", "  ", "\n", "\t", " \n "])
+    toks = ["using", tgt, verb, *fargs]
+    text = draw(ws).join([""] + toks).lstrip() if draw(
+        st.booleans()
+    ) else " ".join(toks)
+    return cmd, text
+
+
+@given(
+    stmts=st.lists(_ns_statement(), min_size=1, max_size=8),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ns_roundtrip_fuzz(stmts, data):
+    """format → parse ≡ identity for random valid statements, under
+    RANDOM chunk boundaries (the streaming scanner must reassemble
+    statements and token tails split at any byte)."""
+    parts = []
+    for i, (_c, text) in enumerate(stmts):
+        last = i == len(stmts) - 1
+        # the final statement may omit its semicolon (EOF terminates);
+        # every other statement keeps it
+        sep = ";" if not last or data.draw(st.booleans()) else ""
+        parts.append(text + sep)
+    blob = data.draw(st.sampled_from([" ", "\n", "\n  "])).join(parts)
+    expected = [c for c, _t in stmts]
+
+    assert parse_ns(blob) == expected
+
+    # streaming form over arbitrary chunkings — token tails may split
+    # anywhere, including inside quotes, escapes, and typed wrappers
+    n = len(blob)
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(min_value=0, max_value=n), max_size=6)
+        )
+    )
+    bounds = [0, *cuts, n]
+    chunks = [blob[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    assert list(iter_parse_ns(chunks)) == expected
