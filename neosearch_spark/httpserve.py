@@ -334,15 +334,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send({"error": str(e)}, 400)
             return
         srv = self.server
+        # read + parse the body BEFORE taking the write lock: rfile
+        # reads block on the client's pace, and one slow PUT holding
+        # the lock would stall every mutation on the server
+        try:
+            cfg = self._body()
+        except ValueError as e:
+            self._send({"error": str(e)}, 400)
+            return
         with srv.write_lock:
             if srv.exists(name):
                 # exact reference error body (create.go:28-33)
                 self._send({"error": f"Index '{name}' already exists."})
-                return
-            try:
-                cfg = self._body()
-            except ValueError as e:
-                self._send({"error": str(e)}, 400)
                 return
             os.makedirs(srv.index_dir(name), exist_ok=True)
             with open(os.path.join(srv.index_dir(name), "create.json"), "w") as f:
