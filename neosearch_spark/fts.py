@@ -15,6 +15,9 @@ codegen, no Python.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,47 +125,78 @@ def bm25_scores(
 ) -> DataFrame:
     """(doc_id, score) for every doc matching ≥1 query term.
 
-    One declarative plan: tf filter (pushdown) → df per term → idf →
-    join dl → per-(doc,term) contribution → sum per doc.  Stats join
-    sides are broadcast (1 row / #qterms rows).  Lucene-style idf;
-    k1=1.2, b=0.75 — identical constants in oracle.py and the SQL
-    oracles."""
+    ZERO-shuffle plan (r5): per-term tf is a row-local expression —
+    ``size(filter(tokens, t == term))`` — so (dl, tf_0..tf_q) project
+    straight off each doc row with no explode and no groupBy.  Corpus
+    stats (n_docs, avgdl, df per term) are ONE 1-row aggregate over
+    that projection, broadcast back; the score is a fixed-order
+    expression sum over the query terms.  The previous shape cost
+    two groupBy exchanges plus a tf⋈dl shuffle join; this one scans
+    the docs twice (stats leg + scoring leg, same projected subplan)
+    and exchanges nothing but the 1-row stats — the plan you want at
+    100 TB.  A/B at sf0.1 local[32] (min of 2): 1.042 → 0.976 s —
+    modest locally where the parquet scan + tokenize dominates, but
+    the exchanges it removes are the part that grows super-linearly
+    with corpus size.  Lucene-style idf; k1=1.2, b=0.75 — identical
+    constants in oracle.py and the SQL oracles.
+
+    tf=0 terms contribute an exact 0.0 (zero numerator, positive
+    denominator), so no per-term match guard is needed; float
+    addition order is fixed by the term list, and the oracle gate
+    compares at round_to=6 exactly as it did for the groupBy-sum
+    shape's nondeterministic order.
+    """
     uniq = list(dict.fromkeys(query_terms))
-    tf = term_frequencies(docs, field).where(F.col("token").isin(uniq))
-    dl = doc_lengths(docs, field)
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     # occurrence multiplicity: duplicate query terms contribute once
     # per occurrence (oracle semantics)
     mult = {u: float(query_terms.count(u)) for u in uniq}
-    mult_df = docs.sparkSession.createDataFrame(
-        [(t, m) for t, m in mult.items()], "token string, mult double"
+    # two-stage projection: materialize the token array once as a
+    # column — lambda-bearing expressions (the per-term filters) are
+    # exempt from Spark's subexpression elimination, so a single
+    # select would re-split the text per term (see the measured
+    # textstats A/B, ops/textstats.py).
+    per_doc = docs.select(
+        "doc_id", tokens_col(F.col(field)).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size(F.col("_toks")).cast("long").alias("dl"),
+        *[
+            F.size(
+                # closure factory, not a default arg: F.filter treats a
+                # 2-param lambda as (element, index)
+                F.filter(F.col("_toks"), (lambda term: lambda t: t == F.lit(term))(u))
+            ).cast("long").alias(f"tf_{i}")
+            for i, u in enumerate(uniq)
+        ],
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(mult_df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "contrib",
-            F.col("mult")
-            * F.col("idf")
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
     )
+    matched = per_doc.where(
+        reduce(operator.or_, [F.col(f"tf_{i}") > 0 for i in range(len(uniq))])
+    ).crossJoin(F.broadcast(stats))
+    contribs = []
+    for i, u in enumerate(uniq):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tfc = F.col(f"tf_{i}")
+        contribs.append(
+            F.lit(mult[u])
+            * idf
+            * (tfc * (K1 + 1.0))
+            / (tfc + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+        )
+    score = reduce(operator.add, contribs)
     if round_to is not None:
-        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
-    return scored
+        score = F.round(score, round_to)
+    return matched.select("doc_id", score.alias("score"))
 
 
 def bm25_topk(

@@ -179,22 +179,25 @@ def simhash(docs: DataFrame, field: str = "text", bits: int = 32) -> DataFrame:
 
     Per doc: for each bit position, sum +tf/-tf by the token-hash
     bit, sign → bit.  Expressed as explode → per-bit column
-    aggregates (no UDF): bit_j contribution = tf * (2*bit_j(h)-1);
-    simhash bit_j = (sum > 0).  One groupBy(doc_id)."""
-    tf = (
+    aggregates (no UDF): each OCCURRENCE contributes ±1 per bit, so
+    the sums are computed in a SINGLE groupBy(doc_id) directly over
+    the occurrence stream — algebraically identical to the old
+    tf-preaggregated shape (sum over occurrences of ±1 ≡ sum over
+    distinct tokens of tf·±1) but one exchange instead of two;
+    map-side partial aggregation reduces each partition to one
+    (doc_id, 32 sums) row before the shuffle.  A/B at sf0.1
+    local[32] (min of 2): 1.277 → 0.910 s.  simhash bit_j =
+    (sum > 0)."""
+    occ = (
         docs.select("doc_id", F.explode(tokens_col(F.col(field))).alias("token"))
         .where(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", _h60(F.col("token")))
+        .select("doc_id", _h60(F.col("token")).alias("h"))
     )
     aggs = []
     for j in range(bits):
         bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{j}")
-        )
-    sums = tf.groupBy("doc_id").agg(*aggs)
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = occ.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for j in range(bits):
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)

@@ -49,8 +49,14 @@ def test_direct_bm25_broadcasts_stats_and_df(spark):
         [(i, f"tok{i} tok1") for i in range(50)], "doc_id long, text string"
     )
     plan = plan_of(fts.bm25_scores(docs, ["tok1", "tok2"]))
-    assert plan.count("BroadcastHashJoin") >= 2  # dfreq + mult joins
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # stats crossJoin
+    # stats (n_docs/avgdl/df) come back as a broadcast 1-row crossJoin
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # r5 zero-shuffle scoring: tf is a row-local array expression, so
+    # the plan has NO shuffle join and NO hash-partitioned exchange —
+    # the only exchanges are the broadcast and the 1-row stats agg's
+    # single-partition exchange
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_builtin_paths_have_no_python_eval(spark):
