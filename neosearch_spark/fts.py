@@ -48,47 +48,69 @@ def doc_lengths(docs: DataFrame, field: str = "text") -> DataFrame:
     return docs.select("doc_id", doc_len_col(F.col(field)).cast("long").alias("dl"))
 
 
+# ---------------------------------------------------------------------------
+# Boolean term matching.
+#
+# r5: every boolean operator below is a ROW-LOCAL predicate over the
+# token array (array_contains / arrays_overlap / exists) — a pure
+# filter scan with zero exchanges except the final doc_id sort.  The
+# previous shapes cost an explode + distinct (or groupBy / anti-join)
+# shuffle each; at 100 TB the filter form is strictly better (filter +
+# project survive whole-stage codegen, nothing is re-partitioned, and
+# AND/NOT/XOR compose in the SAME single scan instead of joining two
+# scans).  Semantics are identical under the module contract that
+# ``doc_id`` is unique per row — the old explode+distinct would
+# additionally merge tokens across duplicate doc_id rows, which is
+# malformed input here.
+# ---------------------------------------------------------------------------
+
+
+def _match_any(toks, terms: list[str]):
+    """ANY-of-terms predicate (documented-union OR)."""
+    if not terms:
+        return F.lit(False)
+    return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+
+
+def _match_all(toks, terms: list[str]):
+    """ALL-of-terms predicate (sorted-intersection AND)."""
+    if not terms:
+        return F.lit(False)  # parity: the old isin([]) shape matched nothing
+    # dict.fromkeys: dedupe with deterministic order (stable plan strings)
+    return reduce(
+        operator.and_, [F.array_contains(toks, t) for t in dict.fromkeys(terms)]
+    )
+
+
+def _ids_where(docs: DataFrame, pred, field: str) -> DataFrame:
+    toks = tokens_col(F.col(field))
+    return docs.where(pred(toks)).select("doc_id").orderBy("doc_id")
+
+
 def matching_docs(docs: DataFrame, term: str, field: str = "text") -> DataFrame:
     """FilterTermID analog: doc_ids containing term, ascending."""
-    return (
-        token_stream(docs, field)
-        .where(F.col("token") == term)
-        .select("doc_id")
-        .distinct()
-        .orderBy("doc_id")
-    )
+    return _ids_where(docs, lambda toks: F.array_contains(toks, term), field)
 
 
 def and_docs(docs: DataFrame, terms: list[str], field: str = "text") -> DataFrame:
     """Docs containing ALL terms (sorted-intersection semantics)."""
-    tf = term_frequencies(docs, field)
-    hits = (
-        tf.where(F.col("token").isin(terms))
-        .groupBy("doc_id")
-        .agg(F.count_distinct("token").alias("n"))
-        .where(F.col("n") == len(set(terms)))
-    )
-    return hits.select("doc_id").orderBy("doc_id")
+    return _ids_where(docs, lambda toks: _match_all(toks, terms), field)
 
 
 def or_docs(docs: DataFrame, terms: list[str], field: str = "text") -> DataFrame:
     """Docs containing ANY term (documented-union OR)."""
-    return (
-        token_stream(docs, field)
-        .where(F.col("token").isin(terms))
-        .select("doc_id")
-        .distinct()
-        .orderBy("doc_id")
-    )
+    return _ids_where(docs, lambda toks: _match_any(toks, terms), field)
 
 
 def not_docs(
     docs: DataFrame, include: list[str], exclude: list[str], field: str = "text"
 ) -> DataFrame:
-    return (
-        and_docs(docs, include, field)
-        .join(or_docs(docs, exclude, field), "doc_id", "left_anti")
-        .orderBy("doc_id")
+    """AND(include) minus OR(exclude) — one scan, no anti-join."""
+    return _ids_where(
+        docs,
+        lambda toks: _match_all(toks, include)
+        & ~F.coalesce(_match_any(toks, exclude), F.lit(False)),
+        field,
     )
 
 
@@ -97,23 +119,19 @@ def xor_docs(
 ) -> DataFrame:
     """Docs matching OR(a_terms) or OR(b_terms) but not both — the
     symmetric difference the reference planned but never shipped
-    (``PROPOSAL.md:223-224``).  Two anti-joins, no full outer."""
-    a = or_docs(docs, a_terms, field)
-    b = or_docs(docs, b_terms, field)
-    return (
-        a.join(b, "doc_id", "left_anti")
-        .unionByName(b.join(a, "doc_id", "left_anti"))
-        .orderBy("doc_id")
+    (``PROPOSAL.md:223-224``).  One scan, no joins: both sides are
+    row-local predicates XORed per doc."""
+    return _ids_where(
+        docs,
+        lambda toks: F.coalesce(_match_any(toks, a_terms), F.lit(False))
+        != F.coalesce(_match_any(toks, b_terms), F.lit(False)),
+        field,
     )
 
 
 def prefix_docs(docs: DataFrame, prefix: str, field: str = "text") -> DataFrame:
-    return (
-        token_stream(docs, field)
-        .where(F.col("token").startswith(prefix))
-        .select("doc_id")
-        .distinct()
-        .orderBy("doc_id")
+    return _ids_where(
+        docs, lambda toks: F.exists(toks, lambda t: t.startswith(prefix)), field
     )
 
 

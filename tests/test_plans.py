@@ -59,6 +59,27 @@ def test_direct_bm25_broadcasts_stats_and_df(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_boolean_term_ops_are_single_scan(spark):
+    """r5: the direct boolean ops are row-local array predicates —
+    one filter scan, no explode/distinct/groupBy exchange, no join;
+    the only exchange is the final doc_id sort's range partitioning."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok1") for i in range(50)], "doc_id long, text string"
+    )
+    for df in [
+        fts.matching_docs(docs, "tok1"),
+        fts.and_docs(docs, ["tok1", "tok2"]),
+        fts.or_docs(docs, ["tok1", "tok2"]),
+        fts.not_docs(docs, ["tok1"], ["tok2"]),
+        fts.xor_docs(docs, ["tok1"], ["tok2"]),
+        fts.prefix_docs(docs, "tok"),
+    ]:
+        plan = plan_of(df)
+        assert "Exchange hashpartitioning" not in plan
+        assert "Join" not in plan  # no SortMerge/Hash/NestedLoop join of any kind
+        assert "HashAggregate" not in plan  # no distinct
+
+
 def test_builtin_paths_have_no_python_eval(spark):
     docs = spark.createDataFrame(
         [(i, f"tok{i} tok1") for i in range(50)], "doc_id long, text string"
