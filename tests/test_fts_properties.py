@@ -1,0 +1,88 @@
+"""Randomized parity for the direct boolean term ops (fts.py) vs a
+pure-Python set-algebra oracle.
+
+The r5 rewrite turned these six operators into row-local array
+predicates; this suite pins their SEMANTICS against an independent
+model over seeded random corpora that exercise every analyzer edge:
+empty tokens from multi-space runs, punctuation-only tokens, mixed
+case, leading/trailing spaces, null text, absent terms, duplicate
+terms, and empty term lists (which match nothing, by the module's
+documented parity with the old ``isin([])`` shape).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from neosearch_spark import fts
+
+VOCAB = ["alpha", "beta", "gamma", "-", "x1", "x2", "zz"]
+
+
+def _toks(text):
+    if text is None:
+        return set()
+    return set(text.strip(" ").lower().split(" "))
+
+
+def _any(toks, terms):
+    return bool(terms) and bool(toks & set(terms))
+
+
+def _all(toks, terms):
+    return bool(terms) and all(t in toks for t in terms)
+
+
+def _mk_corpus(rng, n):
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.05:
+            rows.append((i, None))
+            continue
+        k = rng.randint(0, 6)
+        words = [rng.choice(VOCAB) for _ in range(k)]
+        sep = "  " if rng.random() < 0.3 else " "  # double space → empty token
+        text = sep.join(words)
+        if rng.random() < 0.3:
+            text = " " + text + "  "  # outer spaces are trimmed
+        if rng.random() < 0.3:
+            text = text.upper()  # analyzer lowercases
+        rows.append((i, text))
+    return rows
+
+
+def _terms(rng):
+    pool = VOCAB + ["", "absent", "ALPHA"]  # "" = the multi-space token
+    k = rng.choice([0, 1, 1, 2, 2, 3])
+    return [rng.choice(pool) for _ in range(k)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_boolean_ops_match_set_algebra_oracle(spark, seed):
+    rng = random.Random(seed)
+    rows = _mk_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {i: _toks(t) for i, t in rows}
+
+    for _ in range(3):
+        a, b = _terms(rng), _terms(rng)
+        term = rng.choice(VOCAB + ["absent", ""])
+        prefix = rng.choice(["al", "x", "-", "zz", "q"])
+
+        cases = [
+            (fts.matching_docs(docs, term), lambda tk: term in tk),
+            (fts.and_docs(docs, a), lambda tk: _all(tk, a)),
+            (fts.or_docs(docs, a), lambda tk: _any(tk, a)),
+            (fts.not_docs(docs, a, b), lambda tk: _all(tk, a) and not _any(tk, b)),
+            (fts.xor_docs(docs, a, b), lambda tk: _any(tk, a) != _any(tk, b)),
+            (
+                fts.prefix_docs(docs, prefix),
+                lambda tk: any(t.startswith(prefix) for t in tk),
+            ),
+        ]
+        for df, pred in cases:
+            got = [r["doc_id"] for r in df.collect()]
+            want = sorted(i for i, tk in model.items() if pred(tk))
+            assert got == want, (a, b, term, prefix, df)
