@@ -165,6 +165,13 @@ def bm25_scores(
     shape's nondeterministic order.
     """
     uniq = list(dict.fromkeys(query_terms))
+    if not uniq:
+        # "every doc matching ≥1 query term" of zero terms is empty —
+        # parity with the pre-r5 groupBy shape (and analyze_query('')
+        # legitimately produces []), not a plan-build TypeError
+        return docs.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).where(F.lit(False))
     # occurrence multiplicity: duplicate query terms contribute once
     # per occurrence (oracle semantics)
     mult = {u: float(query_terms.count(u)) for u in uniq}

@@ -336,16 +336,22 @@ class _Handler(BaseHTTPRequestHandler):
         srv = self.server
         # read + parse the body BEFORE taking the write lock: rfile
         # reads block on the client's pace, and one slow PUT holding
-        # the lock would stall every mutation on the server
+        # the lock would stall every mutation on the server.  A parse
+        # failure is HELD, not sent, until after the exists check —
+        # the reference reports already-exists regardless of the body
+        # (create.go:28-33), so that error must win.
+        cfg, body_err = None, None
         try:
             cfg = self._body()
         except ValueError as e:
-            self._send({"error": str(e)}, 400)
-            return
+            body_err = e
         with srv.write_lock:
             if srv.exists(name):
                 # exact reference error body (create.go:28-33)
                 self._send({"error": f"Index '{name}' already exists."})
+                return
+            if body_err is not None:
+                self._send({"error": str(body_err)}, 400)
                 return
             os.makedirs(srv.index_dir(name), exist_ok=True)
             with open(os.path.join(srv.index_dir(name), "create.json"), "w") as f:

@@ -86,3 +86,16 @@ def test_boolean_ops_match_set_algebra_oracle(spark, seed):
             got = [r["doc_id"] for r in df.collect()]
             want = sorted(i for i, tk in model.items() if pred(tk))
             assert got == want, (a, b, term, prefix, df)
+
+
+def test_bm25_empty_query_returns_empty_not_typeerror(spark):
+    """analyze_query('  ') legitimately yields [] — bm25_scores/topk
+    must build a valid empty plan (pre-r5 groupBy-shape parity), not
+    raise at plan-build time."""
+    docs = spark.createDataFrame([(0, "alpha beta"), (1, "beta")],
+                                 "doc_id long, text string")
+    for df in (fts.bm25_scores(docs, []), fts.bm25_topk(docs, [], 5)):
+        assert df.columns == ["doc_id", "score"]
+        assert df.count() == 0
+    # duplicate-only lists reduce to one unique term, still valid
+    assert fts.bm25_topk(docs, ["beta", "beta"], 5).count() == 2

@@ -311,3 +311,32 @@ def test_invalidate_mid_construction_never_caches(spark, tmp_path, monkeypatch):
         assert srv.open("raceidx") is h2 and len(built) == 2
     finally:
         srv.server_close()
+
+
+def _raw_put(url: str, payload: bytes) -> dict:
+    r = urllib.request.Request(url, data=payload, method="PUT")
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_create_existing_wins_over_malformed_body(http_srv):
+    """The reference reports already-exists regardless of the request
+    body (create.go:28-33): a malformed body on PUT of an EXISTING
+    index must surface the exists error, not a parse error — the body
+    is parsed before the lock but its error is held until after the
+    exists check."""
+    srv, base = http_srv
+    for payload in (b"[1, 2]", b"{not json"):
+        assert (
+            _raw_put(base + "/warmidx", payload)["error"]
+            == "Index 'warmidx' already exists."
+        )
+    # on a NEW name the held parse error is reported and nothing is created
+    assert "error" in _raw_put(base + "/freshbadbody", b"[1, 2]")
+    assert not srv.exists("freshbadbody")
+    assert _req(base + "/freshbadbody")["error"] == (
+        "Index 'freshbadbody' doesn't exists."
+    )
