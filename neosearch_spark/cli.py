@@ -105,6 +105,52 @@ def _eval_dsl(idx, dsl: dict):
     return idx.term_docs(str(term), field=field)
 
 
+def validate_dsl(dsl: dict) -> None:
+    """Shape-check a boolean-DSL dict WITHOUT an index: runs the real
+    evaluator against no-op stubs, so every malformed-shape error
+    ``_eval_dsl`` raises fires identically for an index in ANY state
+    (the HTTP pending-index path — a request must validate the same
+    way whether or not the first document has arrived)."""
+
+    class _Stub:
+        def join(self, *a, **k):
+            return self
+
+        def unionByName(self, *a, **k):
+            return self
+
+        def distinct(self):
+            return self
+
+        def orderBy(self, *a, **k):
+            return self
+
+    class _StubIdx:
+        def prefix_docs(self, prefix, field="text"):
+            return _Stub()
+
+        def term_docs(self, term, field="text"):
+            return _Stub()
+
+    _eval_dsl(_StubIdx(), dsl)
+
+
+def run_dsl_query(idx, dsl: dict, limit: int) -> tuple[int, list]:
+    """Evaluate a boolean-DSL dict → (total, stored doc Rows).  The id
+    set persists for the request: the doc materialization and the
+    total would otherwise each re-run the full boolean plan (2× the
+    posting work).  The ONE query-DSL execution sequence — shared by
+    ``cmd_query`` and the HTTP search route so the transports cannot
+    drift."""
+    ids = _eval_dsl(idx, dsl).persist()
+    try:
+        rows = idx.get_docs(ids, limit=limit).collect()
+        total = ids.count()
+    finally:
+        ids.unpersist()
+    return total, rows
+
+
 def cmd_query(args) -> int:
     from .query import SparkIndex
 
@@ -117,15 +163,8 @@ def cmd_query(args) -> int:
         plan = ids._jdf.queryExecution().executedPlan().toString()
         print(json.dumps({"dry_run": True, "dsl": json.loads(args.dsl), "plan": plan}))
         return 0
-    # persist the id set for the request: the doc materialization and
-    # the total would otherwise each re-run the full boolean plan
-    ids = ids.persist()
-    try:
-        docs = idx.get_docs(ids, limit=args.limit)
-        total = ids.count()
-        results = [r.asDict() for r in docs.collect()]
-    finally:
-        ids.unpersist()
+    total, rows = run_dsl_query(idx, json.loads(args.dsl), limit=args.limit)
+    results = [r.asDict() for r in rows]
     for r in results:
         r.pop("ts", None)  # not JSON-serializable without formatting
     print(json.dumps({"total": total, "results": results}, default=str))
@@ -367,7 +406,11 @@ def repl_loop(ex, lines, out, prompt: bool = False) -> int:
                     print(f"Result[idx]: {res['doc_ids']}", file=out)
                 else:
                     print(f"Result: {json.dumps(res['doc'], default=str)}", file=out)
-    ex.flush()
+    try:
+        ex.flush()
+    except Exception as e:  # noqa: BLE001 — the tail-batch flush is a
+        # statement too: report it, don't traceback out of the session
+        print(f"ERROR: {e}", file=out)
     print("Exiting...", file=out)
     return executed
 
@@ -384,7 +427,7 @@ def cmd_repl(args) -> int:
     if not build_kwargs:
         build_kwargs["infer"] = True
     ex = NsExecutor(spark, args.index, build_kwargs=build_kwargs,
-                    chunk=args.chunk)
+                    chunk=args.chunk, eager_validate=True)
     repl_loop(ex, sys.stdin, sys.stdout, prompt=sys.stdin.isatty())
     return 0
 

@@ -431,27 +431,24 @@ class _Handler(BaseHTTPRequestHandler):
                     {"error": "Search 'query' field is not a JSON object"}, 400
                 )
                 return
+            limit = int(body.get("limit", 10))
             if srv.is_pending(name):
-                int(body.get("limit", 10))  # same type check as live
+                # full DSL-shape validation FIRST (the real evaluator
+                # over stubs) — a malformed body must 400 identically
+                # whether or not the first document has arrived
+                from .cli import validate_dsl
+
+                validate_dsl(body["query"])
                 self._send({"total": 0, "results": []})
                 return
-            from .cli import _eval_dsl
+            from .cli import run_dsl_query
 
-            idx = srv.open(name)
-            # persist the id set for this request: the doc
-            # materialization and the total would otherwise each
-            # re-run the full boolean-DSL plan (2x the posting work)
-            ids = _eval_dsl(idx, body["query"]).persist()
-            try:
-                limit = int(body.get("limit", 10))
-                docs = [
-                    _public_doc(r)
-                    for r in idx.get_docs(ids, limit=limit).collect()
-                ]
-                total = ids.count()
-            finally:
-                ids.unpersist()
-            self._send({"total": total, "results": docs})
+            total, rows = run_dsl_query(
+                srv.open(name), body["query"], limit=limit
+            )
+            self._send(
+                {"total": total, "results": [_public_doc(r) for r in rows]}
+            )
         except Exception as e:  # noqa: BLE001
             self._send({"error": str(e)}, 400)
 

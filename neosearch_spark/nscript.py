@@ -524,12 +524,19 @@ class NsExecutor:
         build_kwargs: dict | None = None,
         chunk: int = 100_000,
         get_limit: int = 100,
+        eager_validate: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.build_kwargs = dict(build_kwargs or {})
         self.chunk = chunk
         self.get_limit = get_limit
+        # interactive sessions (REPL) validate each set payload AT THE
+        # STATEMENT, so a bad payload fails loudly where it was typed
+        # instead of poisoning the pending batch; file replay keeps the
+        # lazy path (no per-row driver json.loads on 100k-row chunks —
+        # _apply_sets validates the whole chunk when it matters)
+        self.eager_validate = eager_validate
         self._sets: list[tuple[int, str]] = []
         self._deletes: list[int] = []
         self._idx = None
@@ -547,23 +554,35 @@ class NsExecutor:
         # interleaved them inside one chunk — apply sets then deletes
         # in dump order is WRONG for interleaves, so flush happens on
         # every op-type switch (see execute) and both never pend here.
+        # a failing flush DISCARDS its pending batch before re-raising:
+        # file replay aborts on the exception anyway, and an interactive
+        # session must not wedge — without the clear, every later
+        # read/flush would re-fail on the same poison rows with no
+        # statement able to drop them
         if self._sets:
-            _apply_sets(self.spark, self.index_dir, self._sets, self.build_kwargs)
-            self.counters["n_set"] += len({i for i, _ in self._sets})
-            self._sets.clear()
+            try:
+                _apply_sets(
+                    self.spark, self.index_dir, self._sets, self.build_kwargs
+                )
+                self.counters["n_set"] += len({i for i, _ in self._sets})
+            finally:
+                self._sets.clear()
+                self._idx = None  # table swap → reopen on next read
             self.counters["n_flushes"] += 1
-            self._idx = None  # table swap → reopen on next read
         if self._deletes:
             from .maintenance import delete_docs
 
-            ids = self.spark.createDataFrame(
-                [(int(i),) for i in dict.fromkeys(self._deletes)], "doc_id long"
-            )
-            res = delete_docs(self.spark, self.index_dir, ids)
-            self.counters["n_deleted"] += res.get("n_deleted", 0)
-            self._deletes.clear()
+            try:
+                ids = self.spark.createDataFrame(
+                    [(int(i),) for i in dict.fromkeys(self._deletes)],
+                    "doc_id long",
+                )
+                res = delete_docs(self.spark, self.index_dir, ids)
+                self.counters["n_deleted"] += res.get("n_deleted", 0)
+            finally:
+                self._deletes.clear()
+                self._idx = None
             self.counters["n_flushes"] += 1
-            self._idx = None
 
     def _handle(self):
         from .query import SparkIndex
@@ -579,6 +598,19 @@ class NsExecutor:
         db = cmd.database
         if db == "document.db":
             if cmd.verb in ("set", "mergeset"):
+                if self.eager_validate:
+                    try:
+                        payload = json.loads(str(cmd.value))
+                    except ValueError as e:
+                        raise ValueError(
+                            f"set payload is not valid JSON: "
+                            f"{str(cmd.value)[:80]!r} ({e})"
+                        ) from None
+                    if not isinstance(payload, dict):
+                        raise ValueError(
+                            "set payloads must be JSON objects, got: "
+                            f"{str(cmd.value)[:80]!r}"
+                        )
                 if self._deletes:
                     self.flush()
                 self._sets.append((int(cmd.key), str(cmd.value)))

@@ -124,27 +124,39 @@ class SparkIndex:
 
         self._result_cache_max = int(result_cache)
         self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        # one handle is shared across ThreadingHTTPServer handler
+        # threads (httpserve.py) — every memo above mutates under this
+        # lock.  Spark work NEVER runs while it is held: misses compute
+        # outside and re-acquire to insert (a double-miss computes
+        # twice, both results identical — the open index is immutable).
+        import threading
+
+        self._memo_lock = threading.Lock()
 
     @property
     def blocks(self) -> DataFrame:
-        if self._blocks_df is None:
-            from .maintenance import read_blocks
+        # _memo_lock: two handler threads racing the lazy init would
+        # otherwise .cache() two equal-but-distinct plans (double pin)
+        with self._memo_lock:
+            if self._blocks_df is None:
+                from .maintenance import read_blocks
 
-            # explicit schema: valid even when maintenance emptied
-            # every bucket directory (schema inference would fail)
-            df = read_blocks(self.spark, self.index_dir)
-            self._blocks_df = df.cache() if self._cache else df
-        return self._blocks_df
+                # explicit schema: valid even when maintenance emptied
+                # every bucket directory (schema inference would fail)
+                df = read_blocks(self.spark, self.index_dir)
+                self._blocks_df = df.cache() if self._cache else df
+            return self._blocks_df
 
     @property
     def terms(self) -> DataFrame:
-        if self._terms_df is None:
-            df = self.spark.read.schema(
-                "field string, term string, df long, max_tf_norm double, "
-                "n_blocks long, bucket int"
-            ).parquet(os.path.join(self.index_dir, "terms"))
-            self._terms_df = df.cache() if self._cache else df
-        return self._terms_df
+        with self._memo_lock:
+            if self._terms_df is None:
+                df = self.spark.read.schema(
+                    "field string, term string, df long, max_tf_norm double, "
+                    "n_blocks long, bucket int"
+                ).parquet(os.path.join(self.index_dir, "terms"))
+                self._terms_df = df.cache() if self._cache else df
+            return self._terms_df
 
     @property
     def docs(self) -> DataFrame:
@@ -396,9 +408,15 @@ class SparkIndex:
         are free, so a warm serving process answers a query in a
         single Spark job.  Terms absent from the index memoize as
         (0, 0)."""
-        if len(self._meta_cache) > 4_000_000:  # soft cap: ~200 MB of
-            self._meta_cache.clear()           # memo in a long-lived server
-        missing = [t for t in qterms if (field, t) not in self._meta_cache]
+        with self._memo_lock:
+            if len(self._meta_cache) > 4_000_000:  # soft cap: ~200 MB
+                self._meta_cache.clear()  # of memo in a long-lived server
+            have = {
+                t: self._meta_cache[(field, t)]
+                for t in qterms
+                if (field, t) in self._meta_cache
+            }
+        missing = [t for t in qterms if t not in have]
         if missing:
             rows = (
                 self._bucket_terms(self.terms, missing)
@@ -407,9 +425,12 @@ class SparkIndex:
                 .collect()
             )
             got = {r["term"]: (int(r["df"]), int(r["n_blocks"])) for r in rows}
-            for t in missing:
-                self._meta_cache[(field, t)] = got.get(t, (0, 0))
-        return {t: self._meta_cache[(field, t)] for t in qterms}
+            fetched = {t: got.get(t, (0, 0)) for t in missing}
+            with self._memo_lock:
+                for t, v in fetched.items():
+                    self._meta_cache[(field, t)] = v
+            have.update(fetched)
+        return {t: have[t] for t in qterms}
 
     def idfs(
         self, qterms: list[str], field: str = "text"
@@ -442,8 +463,13 @@ class SparkIndex:
         terms-table metadata — that check replaces the old
         limit(CAP+1) overflow probe, so the cap costs no job at all.
         Terms absent from the index memoize as []."""
-        missing = [t for t in uniq if (field, t) not in self._span_meta_cache]
-        fetched: dict[str, list[tuple[int, float, float]]] = {}
+        with self._memo_lock:
+            have = {
+                t: self._span_meta_cache[(field, t)]
+                for t in uniq
+                if (field, t) in self._span_meta_cache
+            }
+        missing = [t for t in uniq if t not in have]
         if missing:
             rows = (
                 self._bucket_terms(self.blocks, missing)
@@ -451,7 +477,9 @@ class SparkIndex:
                 .select("term", "span_id", "max_tf_norm", "enc_avgdl")
                 .collect()
             )
-            fetched = {t: [] for t in missing}
+            fetched: dict[str, list[tuple[int, float, float]]] = {
+                t: [] for t in missing
+            }
             for r in rows:
                 fetched[r["term"]].append(
                     (
@@ -460,18 +488,19 @@ class SparkIndex:
                         float(r["enc_avgdl"]),
                     )
                 )
-            for t in missing:
-                n = len(fetched[t])
-                if (
-                    self._span_meta_cached_rows + n
-                    <= self.SPAN_META_MEMO_MAX_ROWS
-                ):
-                    self._span_meta_cache[(field, t)] = fetched[t]
-                    self._span_meta_cached_rows += n
-        return {
-            t: self._span_meta_cache.get((field, t), fetched.get(t, []))
-            for t in uniq
-        }
+            with self._memo_lock:
+                for t in missing:
+                    if (field, t) in self._span_meta_cache:
+                        continue  # another thread fetched it meanwhile
+                    n = len(fetched[t])
+                    if (
+                        self._span_meta_cached_rows + n
+                        <= self.SPAN_META_MEMO_MAX_ROWS
+                    ):
+                        self._span_meta_cache[(field, t)] = fetched[t]
+                        self._span_meta_cached_rows += n
+            have.update(fetched)
+        return {t: have[t] for t in uniq}
 
     def _score_spans(self, blocks: DataFrame, qterms: list[str], idf: dict, k: int) -> DataFrame:
         """Per-span exact scoring: ≤k (doc_id, score) rows per span.
@@ -741,21 +770,26 @@ class SparkIndex:
         if not self._result_cache_max:
             return self._bm25_topk_impl(query, k, field, prune, mode)
         key = (query, k, field, prune, mode)
-        rows = self._result_cache.get(key)
+        with self._memo_lock:
+            rows = self._result_cache.get(key)
+            if rows is not None:
+                self._result_cache.move_to_end(key)
         if rows is None:
             # the impl's result is already driver-resident (≤k rows,
-            # _topk_df) — materializing it here is a 1-task job
+            # _topk_df) — materializing it here is a 1-task job.
+            # Computed OUTSIDE the lock (Spark work must not serialize
+            # other handler threads); a concurrent miss on the same
+            # key just recomputes the identical rows.
             rows = [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self._bm25_topk_impl(
                     query, k, field, prune, mode
                 ).collect()
             ]
-            self._result_cache[key] = rows
-            if len(self._result_cache) > self._result_cache_max:
-                self._result_cache.popitem(last=False)
-        else:
-            self._result_cache.move_to_end(key)
+            with self._memo_lock:
+                self._result_cache[key] = rows
+                if len(self._result_cache) > self._result_cache_max:
+                    self._result_cache.popitem(last=False)
         return self._topk_df(rows)
 
     def _bm25_topk_impl(

@@ -391,3 +391,64 @@ def test_eval_dsl_rejects_typod_operator_keys():
         cli._eval_dsl(None, {"and": [{"text": "alpha"}]})
     with pytest.raises(ValueError, match="non-scalar term"):
         cli._eval_dsl(None, {"text": {"prefix": "al"}})  # $prefix typo
+
+
+def test_repl_poison_set_cannot_wedge_session(spark, tmp_path):
+    """A bad set payload must not poison the pending batch: the REPL
+    validates payloads AT THE STATEMENT (eager_validate), so the bad
+    set itself prints ERROR and later writes/reads work; and even on
+    the lazy path (file replay semantics) a failing flush DISCARDS its
+    batch — the next statement starts clean instead of re-failing
+    forever, and quit's tail flush reports instead of killing the
+    CLI."""
+    import io
+
+    from neosearch_spark.nscript import NsExecutor
+
+    # eager path (what `cli repl` wires): the bad statement fails, the
+    # session keeps working end-to-end
+    d = str(tmp_path / "repl_poison_idx")
+    ex = NsExecutor(
+        spark, d, build_kwargs={"analyzed_fields": ["text"]},
+        eager_validate=True,
+    )
+    out = io.StringIO()
+    executed = cli.repl_loop(
+        ex,
+        [
+            "using repl.document.db set 1 \"not json at all\";",
+            "using repl.document.db set 2 \"[1, 2]\";",  # non-object
+            'using repl.document.db set 3 "{\\"doc_id\\": 3, \\"text\\": \\"clean doc\\"}";',
+            "using repl.text.idx get clean;",
+        ],
+        out,
+    )
+    text = out.getvalue()
+    assert executed == 2  # the two poison sets never count
+    assert text.count("ERROR: ") == 2
+    assert "Result[idx]: [3]" in text
+    assert text.splitlines()[-1] == "Exiting..."
+
+    # lazy path: flush failure at quit is reported, session exits
+    # cleanly, and the poison batch is gone (a fresh statement works)
+    d2 = str(tmp_path / "repl_poison_lazy_idx")
+    ex2 = NsExecutor(spark, d2, build_kwargs={"analyzed_fields": ["text"]})
+    out2 = io.StringIO()
+    cli.repl_loop(
+        ex2, ["using repl.document.db set 1 \"broken payload\";"], out2
+    )
+    t2 = out2.getvalue()
+    assert "set: Success" in t2           # lazy: accepted at statement
+    assert "ERROR: " in t2                # ...reported at the quit flush
+    assert t2.splitlines()[-1] == "Exiting..."
+    assert ex2._sets == []                # batch discarded, not wedged
+    out3 = io.StringIO()
+    cli.repl_loop(
+        ex2,
+        [
+            'using repl.document.db set 4 "{\\"doc_id\\": 4, \\"text\\": \\"recovered\\"}";',
+            "using repl.text.idx get recovered;",
+        ],
+        out3,
+    )
+    assert "Result[idx]: [4]" in out3.getvalue()

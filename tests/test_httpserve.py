@@ -340,3 +340,30 @@ def test_create_existing_wins_over_malformed_body(http_srv):
     assert _req(base + "/freshbadbody")["error"] == (
         "Index 'freshbadbody' doesn't exists."
     )
+
+
+def test_pending_dsl_search_validates_like_live(http_srv):
+    """State-independent request validation on the boolean-DSL path:
+    a malformed query body 400s identically whether the index is
+    pending (created, nothing indexed) or live (94c9f08 established
+    this for the 'queries' path; this pins the DSL path)."""
+    srv, base = http_srv
+    assert "error" not in _req(base + "/penddsl", "PUT", {"fields": ["text"]})
+    try:
+        bad_bodies = [
+            {"query": {"and": [{"text": "x"}]}},   # typo'd operator
+            {"query": {}},                          # no field at all
+            {"query": {"$and": []}},                # empty clause list
+        ]
+        for body in bad_bodies:
+            pend = _req(base + "/penddsl/", "POST", body)
+            assert "error" in pend, body
+        # well-formed DSL on the pending index answers empty, not 400
+        ok = _req(base + "/penddsl/", "POST", {"query": {"text": "x"}})
+        assert ok == {"total": 0, "results": []}
+        # live comparison: same bad bodies 400 on the warm index too
+        for body in bad_bodies:
+            live = _req(base + "/warmidx/", "POST", body)
+            assert "error" in live, body
+    finally:
+        _req(base + "/penddsl", "DELETE")

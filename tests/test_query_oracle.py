@@ -479,3 +479,74 @@ def test_result_cache_zero_jobs_on_repeat(spark, tmp_path, monkeypatch):
     # capacity 2: the oldest entry was evicted and recomputes
     si.bm25_topk("tok1 tok2", 5).collect()
     assert len(calls) == 4
+
+
+def test_memo_caches_are_thread_safe(spark, tmp_path, monkeypatch):
+    """One SparkIndex handle is shared across ThreadingHTTPServer
+    handler threads: hammer the result-cache LRU (get/move_to_end vs
+    insert/evict) and the term-meta memo (incl. its overflow clear)
+    from many threads.  Pre-fix this raced into KeyError (evict
+    between a hit's get and its move_to_end; clear between insert and
+    read-back) and 400'd valid queries."""
+    import threading
+
+    d = str(tmp_path / "mt_idx")
+    docs = assign_doc_ids(synth_transcripts(spark, 120, seed=11))
+    IndexBuilder(d, span=64).build(docs)
+    idx = SparkIndex(spark, d, result_cache=2)  # tiny: constant eviction
+
+    # driver-side stand-ins: no Spark work, so threads interleave at
+    # dict-operation granularity and the race window is actually hit
+    monkeypatch.setattr(
+        idx, "_bm25_topk_impl",
+        lambda query, k, field, prune, mode: type(
+            "R", (), {"collect": staticmethod(lambda: [])}
+        )(),
+    )
+    monkeypatch.setattr(idx, "_topk_df", lambda rows: rows)
+
+    errors: list[BaseException] = []
+
+    def hammer(seed: int) -> None:
+        try:
+            for i in range(3000):
+                idx.bm25_topk(f"q{(seed + i) % 3}", 10)  # 3 keys, cache of 2
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    assert len(idx._result_cache) <= 2
+
+    # term-meta memo: force the overflow clear to race the read-back
+    idx._meta_cache.clear()
+    real_terms = idx._term_meta(["tok1", "tok2", "tok3"])  # real fetch once
+    errors2: list[BaseException] = []
+
+    def meta_hammer(seed: int) -> None:
+        try:
+            for i in range(2000):
+                if i % 50 == seed % 50:
+                    # simulate the soft-cap clear another thread triggers
+                    with idx._memo_lock:
+                        idx._meta_cache.clear()
+                        idx._meta_cache.update(
+                            {("text", t): v for t, v in real_terms.items()}
+                        )
+                got = idx._term_meta([f"tok{1 + (seed + i) % 3}"])
+                assert list(got.values())[0][0] >= 0
+        except BaseException as e:  # noqa: BLE001
+            errors2.append(e)
+
+    # make misses cheap/driver-side: every term is already cached via
+    # real_terms re-seeding, so _term_meta never reaches Spark here
+    threads = [threading.Thread(target=meta_hammer, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors2, errors2
