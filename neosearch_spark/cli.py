@@ -271,11 +271,13 @@ def cmd_compact(args) -> int:
 
 def validate_search_request(
     req: dict, default_k: int = 10
-) -> tuple[list, int]:
+) -> tuple[list, int, str | None]:
     """Shared request validation for every serving transport (stdin
     loop, HTTP live path, HTTP pending-index fast path) — one
     definition so a request can't validate differently depending on
-    index state.  Raises on malformed requests."""
+    index state.  Raises on malformed requests.  Returns (queries,
+    k, field) — ``field`` is None when the request doesn't name one
+    (the caller substitutes the index's primary analyzed field)."""
     queries = req["queries"]
     # a bare string would iterate per CHARACTER downstream and
     # "succeed" with one garbage result set per letter
@@ -283,23 +285,32 @@ def validate_search_request(
         isinstance(q, str) for q in queries
     ):
         raise ValueError('"queries" must be a non-empty list of strings')
-    return queries, int(req.get("k", default_k))
+    field = req.get("field")
+    if field is not None and (not isinstance(field, str) or not field):
+        raise ValueError('"field" must be a non-empty string')
+    return queries, int(req.get("k", default_k)), field
 
 
 def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
     """One serving request against a warm ``SparkIndex`` → response
     dict — the transport-independent core shared by the stdin loop
     (``serve_loop``) and the HTTP service (``httpserve``).  Request:
-    ``{"queries": [...], "k": N}``; response: ``{"batch": [...]}``.
-    Raises on malformed requests — the caller owns the error frame."""
-    queries, k = validate_search_request(req, default_k)
+    ``{"queries": [...], "k": N, "field": "..."}``; response:
+    ``{"batch": [...]}``.  When the request doesn't name a field,
+    scoring targets the INDEX's primary analyzed field (an index
+    built on custom fields would otherwise silently score "text" and
+    return empty results for every query).  Raises on malformed
+    requests — the caller owns the error frame."""
+    queries, k, field = validate_search_request(req, default_k)
+    if field is None:
+        field = getattr(idx, "primary_field", "text")
     if len(queries) == 1:
         rows = [
             {"doc_id": r["doc_id"], "score": r["score"]}
-            for r in idx.bm25_topk(queries[0], k=k).collect()
+            for r in idx.bm25_topk(queries[0], k=k, field=field).collect()
         ]
         return {"batch": [{"query": queries[0], "results": rows}]}
-    rows = idx.bm25_topk_batch(queries, k=k).collect()
+    rows = idx.bm25_topk_batch(queries, k=k, field=field).collect()
     return {
         "batch": [
             {

@@ -17,7 +17,9 @@ handlers' JSON):
                                  {"query": {DSL}} → boolean-DSL doc
                                  results {"total", "results"}, or the
                                  stdin-loop body {"queries": [...],
-                                 "k": N} → BM25 {"batch": [...]}
+                                 "k": N, "field": "..."} → BM25
+                                 {"batch": [...]} (field defaults to
+                                 the index's primary analyzed field)
     GET    /{index}/{id}       → fetch one document (index/get.go)
     GET    /{index}/{id}/_analyze → the command a Get would run — the
                                  .ns statement text, as the reference
@@ -353,6 +355,25 @@ class _Handler(BaseHTTPRequestHandler):
             if body_err is not None:
                 self._send({"error": str(body_err)}, 400)
                 return
+            # shape-check the field lists BEFORE persisting them: a
+            # string where a list belongs (``{"fields": "title"}``)
+            # would otherwise write a poisoned create.json that 400s
+            # every future add while exists() blocks a corrective PUT
+            for cfg_key in ("fields", "exact_fields"):
+                v = cfg.get(cfg_key)
+                if v is not None and (
+                    not isinstance(v, list)
+                    or not v
+                    or not all(isinstance(x, str) and x for x in v)
+                ):
+                    self._send(
+                        {
+                            "error": f'"{cfg_key}" must be a non-empty '
+                            "list of non-empty strings"
+                        },
+                        400,
+                    )
+                    return
             os.makedirs(srv.index_dir(name), exist_ok=True)
             with open(os.path.join(srv.index_dir(name), "create.json"), "w") as f:
                 json.dump(
@@ -409,7 +430,7 @@ class _Handler(BaseHTTPRequestHandler):
                     # full request validation FIRST (shared with the
                     # live path) — a malformed body must 400 the same
                     # way regardless of index state
-                    qs, _k = validate_search_request(
+                    qs, _k, _field = validate_search_request(
                         body, default_k=srv.default_k
                     )
                     self._send(
@@ -431,7 +452,9 @@ class _Handler(BaseHTTPRequestHandler):
                     {"error": "Search 'query' field is not a JSON object"}, 400
                 )
                 return
-            limit = int(body.get("limit", 10))
+            # the server's -k default governs BOTH search bodies —
+            # the BM25 route already honors it via default_k
+            limit = int(body.get("limit", srv.default_k))
             if srv.is_pending(name):
                 # full DSL-shape validation FIRST (the real evaluator
                 # over stubs) — a malformed body must 400 identically

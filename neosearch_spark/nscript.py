@@ -192,8 +192,10 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
     an unquoted key/value literally spelled 'using' stays a
     literal), or at EOF (the final ``;`` may be omitted,
     parser_test.go:118-121).  A chunk boundary can split a token;
-    the un-tokenizable tail is retried once more input arrives and
-    only reported as a parse error at EOF.
+    a tail that could still grow into one is retried once more input
+    arrives, while a byte no future input can tokenize fails
+    IMMEDIATELY — malformed dumps error at the corrupt offset
+    instead of buffering the rest of the file to EOF.
 
     The scan position and the pending token list persist ACROSS
     feeds (the buffer trims at statement boundaries, never rewinds),
@@ -239,7 +241,15 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
                 qstate = None  # closing quote arrived: match succeeds now
                 m = _TOKEN_RE.match(buf, pos)
             if m is None:
-                if final:
+                # only a bare '-' touching the buffer edge can still
+                # grow into a token (a negative number); every other
+                # unmatchable byte is dead no matter what input
+                # follows — fail NOW instead of buffering the rest of
+                # the dump to report the same error at EOF (the
+                # bounded-memory contract holds on malformed input)
+                if final or not (
+                    buf[pos] == "-" and pos == len(buf) - 1
+                ):
                     raise ValueError(
                         f"ns parse error at offset {pos}: "
                         f"{buf[pos:pos + 20]!r}"
@@ -591,6 +601,20 @@ class NsExecutor:
             self._idx = SparkIndex(self.spark, self.index_dir)
         return self._idx
 
+    @staticmethod
+    def _doc_key(key) -> int:
+        """document.db keys are uint64 doc_ids.  A ``float(1.9)``-typed
+        key parses to a Python float and bare ``int()`` would SILENTLY
+        truncate it to a different document's id — reject non-integral
+        keys as loudly as non-numeric ones (``int("x")`` raises)."""
+        if isinstance(key, float):
+            if not key.is_integer():
+                raise ValueError(
+                    f"document.db keys must be integers, got {key!r}"
+                )
+            return int(key)
+        return int(key)
+
     def execute(self, cmd: Command) -> dict | None:
         """Apply one statement; ``get`` verbs return their result
         dict (doc-store: ``{"database", "key", "doc"}``; postings:
@@ -613,13 +637,13 @@ class NsExecutor:
                         )
                 if self._deletes:
                     self.flush()
-                self._sets.append((int(cmd.key), str(cmd.value)))
+                self._sets.append((self._doc_key(cmd.key), str(cmd.value)))
                 if len(self._sets) >= self.chunk:
                     self.flush()
             elif cmd.verb == "delete":
                 if self._sets:
                     self.flush()
-                self._deletes.append(int(cmd.key))
+                self._deletes.append(self._doc_key(cmd.key))
                 if len(self._deletes) >= self.chunk:
                     self.flush()
             elif cmd.verb == "get":
@@ -628,7 +652,7 @@ class NsExecutor:
                     self._handle()
                     .get_docs(
                         self.spark.createDataFrame(
-                            [(int(cmd.key),)], "doc_id long"
+                            [(self._doc_key(cmd.key),)], "doc_id long"
                         )
                     )
                     .collect()

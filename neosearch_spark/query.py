@@ -101,6 +101,11 @@ class SparkIndex:
         # the build's codegen'd boundary tree (UTF-8 byte order ==
         # code-point order == Python str order)
         self.bucket_boundaries: list[str] = p.get("bucket_boundaries", [])
+        # the index's primary analyzed field — the default scoring
+        # field for serving transports that don't name one (an index
+        # built on ["company_name"] must not silently score the
+        # nonexistent "text" field and return empty results)
+        self.primary_field: str = (p.get("analyzed_fields") or ["text"])[0]
         stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])

@@ -367,3 +367,85 @@ def test_pending_dsl_search_validates_like_live(http_srv):
             assert "error" in live, body
     finally:
         _req(base + "/penddsl", "DELETE")
+
+
+def test_custom_field_index_searchable_over_http(http_srv):
+    """An index created with custom analyzed fields must be BM25-
+    searchable over HTTP without the client naming the field: the
+    serving core defaults to the INDEX's primary analyzed field (a
+    hardcoded "text" default silently returned zero results for
+    every query against such an index)."""
+    srv, base = http_srv
+    assert "created" in _req(
+        base + "/fldidx", "PUT", {"fields": ["company_name"]}
+    )["status"]
+    try:
+        assert _req(
+            base + "/fldidx/1", "POST", {"company_name": "acme corp"}
+        )["status"] == "Document 1 indexed."
+        assert _req(
+            base + "/fldidx/2", "POST", {"company_name": "globex inc"}
+        )["status"] == "Document 2 indexed."
+        # no "field" in the request → primary analyzed field
+        out = _req(base + "/fldidx", "POST", {"queries": ["acme"], "k": 5})
+        assert [r["doc_id"] for r in out["batch"][0]["results"]] == [1]
+        # explicit "field" still honored (and validated)
+        out = _req(
+            base + "/fldidx", "POST",
+            {"queries": ["globex"], "k": 5, "field": "company_name"},
+        )
+        assert [r["doc_id"] for r in out["batch"][0]["results"]] == [2]
+        bad = _req(
+            base + "/fldidx", "POST", {"queries": ["x"], "field": 7}
+        )
+        assert "error" in bad
+    finally:
+        _req(base + "/fldidx", "DELETE")
+
+
+def test_create_rejects_malformed_field_lists(http_srv):
+    """PUT bodies whose fields/exact_fields are not lists of
+    non-empty strings must 400 WITHOUT persisting create.json — a
+    poisoned config would 400 every future add while exists() blocks
+    the corrective PUT (only DELETE could recover)."""
+    srv, base = http_srv
+    for bad in (
+        {"fields": "title"},              # string, not list
+        {"fields": ["title", 3]},         # non-string element
+        {"fields": []},                   # empty list
+        {"exact_fields": {"a": 1}},       # wrong container
+        {"fields": ["ok"], "exact_fields": [""]},  # empty string
+    ):
+        assert "must be a non-empty" in _req(base + "/cfgidx", "PUT", bad)[
+            "error"
+        ], bad
+    # the failed PUTs created nothing: a good PUT now succeeds
+    assert "created" in _req(base + "/cfgidx", "PUT", {"fields": ["title"]})[
+        "status"
+    ]
+    _req(base + "/cfgidx", "DELETE")
+
+
+def test_dsl_limit_defaults_to_server_k(spark, tmp_path):
+    """Both search bodies on one server honor its configured -k
+    default: the DSL route's limit fell back to a hardcoded 10
+    regardless of default_k."""
+    from neosearch_spark.httpserve import serve_http
+
+    root = str(tmp_path / "kroot")
+    docs = assign_doc_ids(synth_transcripts(spark, 40, seed=5))
+    IndexBuilder(f"{root}/kidx", span=64, exact_fields=["role"]).build(docs)
+    srv = serve_http(spark, root, port=0, default_k=3)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = _req(base + "/kidx", "POST", {"query": {"role": "user"}})
+        assert out["total"] > 3 and len(out["results"]) == 3
+        # explicit limit still wins
+        out = _req(
+            base + "/kidx", "POST", {"query": {"role": "user"}, "limit": 5}
+        )
+        assert len(out["results"]) == 5
+    finally:
+        srv.shutdown()

@@ -543,3 +543,49 @@ def test_ns_roundtrip_fuzz(stmts, data):
     bounds = [0, *cuts, n]
     chunks = [blob[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
     assert list(iter_parse_ns(chunks)) == expected
+
+
+def test_iter_parse_ns_fails_fast_on_dead_byte():
+    """A byte no future input can tokenize must error on the FEED
+    that contains it — not buffer the rest of the dump and report at
+    EOF (the bounded-memory contract must hold on malformed input)."""
+    from neosearch_spark.nscript import iter_parse_ns
+
+    fed = []
+
+    def chunks():
+        fed.append(1)
+        yield "using a.document.db set @ "
+        for _ in range(1000):
+            fed.append(1)
+            yield "x" * 1024  # the 1 MB tail must never be requested
+
+    with pytest.raises(ValueError, match="parse error"):
+        list(iter_parse_ns(chunks()))
+    assert len(fed) <= 2  # died on the corrupt chunk, not at EOF
+
+    # a bare '-' at the buffer edge is NOT dead: it can grow into a
+    # negative number with the next chunk
+    from neosearch_spark.nscript import iter_parse_ns as p
+
+    got = list(p(["using a.document.db set -", "1 'x';"]))
+    assert got[0].key == -1
+
+
+def test_executor_rejects_non_integral_float_keys(spark, tmp_path):
+    """``float(1.9)``-typed document.db keys must fail loudly — bare
+    int() truncated them to a DIFFERENT document's id (set/delete on
+    doc 1 when the statement named 1.9)."""
+    from neosearch_spark.nscript import NsExecutor, parse_ns
+
+    ex = NsExecutor(spark, str(tmp_path / "fkidx"))
+    bad = parse_ns('using a.document.db set float(1.9) \'{"doc_id": 1, "text": "x"}\';')[0]
+    with pytest.raises(ValueError, match="must be integers"):
+        ex.execute(bad)
+    baddel = parse_ns("using a.document.db delete float(7.5);")[0]
+    with pytest.raises(ValueError, match="must be integers"):
+        ex.execute(baddel)
+    # integral float keys convert exactly
+    ok = parse_ns('using a.document.db set float(2.0) \'{"doc_id": 2, "text": "y"}\';')[0]
+    ex.execute(ok)
+    assert ex._sets and ex._sets[-1][0] == 2
