@@ -452,3 +452,41 @@ def test_repl_poison_set_cannot_wedge_session(spark, tmp_path):
         out3,
     )
     assert "Result[idx]: [4]" in out3.getvalue()
+
+
+def test_serve_loop_defaults_to_index_primary_field(spark, tmp_path):
+    """The stdin serving transport must score the index's primary
+    analyzed field when the request doesn't name one — an index built
+    on custom fields silently returned empty results for every query
+    while the default was hardcoded to \"text\"."""
+    import io
+
+    from neosearch_spark.build import IndexBuilder
+    from neosearch_spark.cli import serve_loop
+    from neosearch_spark.query import SparkIndex
+
+    d = str(tmp_path / "fldidx")
+    docs = spark.createDataFrame(
+        [(0, "acme corp"), (1, "globex inc"), (2, "acme holdings")],
+        "doc_id long, company_name string",
+    )
+    IndexBuilder(d, analyzed_fields=["company_name"], span=64).build(docs)
+    idx = SparkIndex(spark, d)
+    assert idx.primary_field == "company_name"
+    out = io.StringIO()
+    served = serve_loop(
+        idx,
+        [
+            "acme",                                            # bare line
+            json.dumps({"queries": ["globex", "acme"], "k": 5}),  # batch
+            json.dumps({"queries": ["acme"], "field": "company_name"}),
+        ],
+        out,
+    )
+    assert served == 3
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert {r["doc_id"] for r in lines[0]["batch"][0]["results"]} == {0, 2}
+    assert {r["doc_id"] for r in lines[1]["batch"][0]["results"]} == {1}
+    assert {r["doc_id"] for r in lines[1]["batch"][1]["results"]} == {0, 2}
+    # explicit field request ≡ defaulted
+    assert lines[2]["batch"][0]["results"] == lines[0]["batch"][0]["results"]
