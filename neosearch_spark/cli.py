@@ -93,7 +93,16 @@ def _eval_dsl(idx, dsl: dict):
         )
     (field, term), = dsl.items()
     if isinstance(term, dict) and "$prefix" in term:
-        return idx.prefix_docs(term["$prefix"], field=field)
+        prefix = term["$prefix"]
+        if not isinstance(prefix, str):
+            # checked HERE, not downstream in prefix_docs, so the
+            # stub-backed validate_dsl path raises the identical
+            # error — a pending index must 400 the same way a live
+            # one does (live would TypeError inside _bucket_prefix)
+            raise ValueError(
+                f"$prefix value must be a string, got {type(prefix).__name__}"
+            )
+        return idx.prefix_docs(prefix, field=field)
     if isinstance(term, (list, dict)):
         # a typo'd operator ({"and": [...]} for {"$and": [...]})
         # lands here as field="and", term=<list> — stringifying it
@@ -156,14 +165,15 @@ def cmd_query(args) -> int:
 
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
-    ids = _eval_dsl(idx, json.loads(args.dsl))
+    dsl = json.loads(args.dsl)
     if args.dry_run:
         # the _analyze analog (get_analyze.go:27-76): print the
         # physical plan — pushed filters visible — without executing
+        ids = _eval_dsl(idx, dsl)
         plan = ids._jdf.queryExecution().executedPlan().toString()
-        print(json.dumps({"dry_run": True, "dsl": json.loads(args.dsl), "plan": plan}))
+        print(json.dumps({"dry_run": True, "dsl": dsl, "plan": plan}))
         return 0
-    total, rows = run_dsl_query(idx, json.loads(args.dsl), limit=args.limit)
+    total, rows = run_dsl_query(idx, dsl, limit=args.limit)
     results = [r.asDict() for r in rows]
     for r in results:
         r.pop("ts", None)  # not JSON-serializable without formatting
@@ -176,6 +186,11 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     idx = SparkIndex(spark, args.index)
+    if args.field is None:
+        # default to the index's primary analyzed field, like the
+        # stdin and HTTP transports — a hardcoded "text" silently
+        # returns empty results on an index built with custom fields
+        args.field = getattr(idx, "primary_field", "text")
     if args.dry_run:
         print(json.dumps({"dry_run": True, **idx.explain_query(
             args.query[0], field=args.field, k=args.k)}))
@@ -625,9 +640,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True, action="append",
                    help="query text; pass multiple times to serve the batch in ONE Spark job")
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--field", default="text",
-                   help="analyzed field to score (BM25 doc length still "
-                        "comes from the index's primary field)")
+    s.add_argument("--field", default=None,
+                   help="analyzed field to score; defaults to the "
+                        "index's primary analyzed field (BM25 doc "
+                        "length still comes from the primary field)")
     s.add_argument("--no-prune", action="store_true")
     s.add_argument("--dry-run", action="store_true",
                    help="print planned stages + block-scan plan without executing")

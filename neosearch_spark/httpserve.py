@@ -347,6 +347,22 @@ class _Handler(BaseHTTPRequestHandler):
             cfg = self._body()
         except ValueError as e:
             body_err = e
+        try:
+            self._do_create(srv, name, cfg, body_err)
+        except Exception as e:  # noqa: BLE001
+            # answer JSON on filesystem failure like every other
+            # route; os.replace below guarantees a died write leaves
+            # no create.json, so the name is not poisoned — clean up
+            # the .tmp remnant best-effort and let the client retry
+            import contextlib
+
+            with contextlib.suppress(OSError):
+                os.remove(
+                    os.path.join(srv.index_dir(name), "create.json.tmp")
+                )
+            self._send({"error": str(e)}, 400)
+
+    def _do_create(self, srv, name: str, cfg, body_err) -> None:
         with srv.write_lock:
             if srv.exists(name):
                 # exact reference error body (create.go:28-33)
@@ -375,7 +391,14 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                     return
             os.makedirs(srv.index_dir(name), exist_ok=True)
-            with open(os.path.join(srv.index_dir(name), "create.json"), "w") as f:
+            # tmp + rename: a crash mid-write must not leave a
+            # truncated create.json — exists() would then block a
+            # corrective PUT while every add 400s on json.load,
+            # poisoning the name until someone hand-deletes the file
+            # (dump_ns writes through os.replace for the same reason)
+            cfg_path = os.path.join(srv.index_dir(name), "create.json")
+            tmp_path = cfg_path + ".tmp"
+            with open(tmp_path, "w") as f:
                 json.dump(
                     {
                         "fields": cfg.get("fields"),
@@ -383,6 +406,7 @@ class _Handler(BaseHTTPRequestHandler):
                     },
                     f,
                 )
+            os.replace(tmp_path, cfg_path)
         # exact reference success body (create.go:57)
         self._send({"status": f"Index '{name}' created."})
 
@@ -395,12 +419,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send({"error": str(e)}, 400)
             return
         srv = self.server
-        with srv.write_lock:
-            if not srv.exists(name):
-                self._missing(name)
-                return
-            srv.invalidate(name)
-            shutil.rmtree(srv.index_dir(name))
+        try:
+            with srv.write_lock:
+                if not srv.exists(name):
+                    self._missing(name)
+                    return
+                srv.invalidate(name)
+                shutil.rmtree(srv.index_dir(name))
+        except Exception as e:  # noqa: BLE001
+            # every route answers JSON even on filesystem failure —
+            # an escaping OSError would drop the connection and print
+            # a traceback onto the JSON status stream instead
+            self._send({"error": str(e)}, 400)
+            return
         self._send({"status": f"Index '{name}' deleted."})
 
     def do_POST(self) -> None:  # noqa: N802
@@ -487,6 +518,15 @@ class _Handler(BaseHTTPRequestHandler):
         doc = dict(body)
         doc["doc_id"] = int_id
         with srv.write_lock:
+            # re-check under the lock: the route-level exists() ran
+            # unlocked, so an add racing a DELETE could otherwise
+            # recreate the just-deleted index (with inferred fields,
+            # its create.json being gone) and silently undo the
+            # acknowledged delete — PUT and DELETE both re-check
+            # their state inside write_lock for the same reason
+            if not srv.exists(name):
+                self._missing(name)
+                return
             _apply_sets(
                 srv.spark,
                 srv.index_dir(name),

@@ -67,6 +67,13 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+# proper prefixes of the typed-cast interior (the part after '(' in
+# `uint( 42 )`): empty/spaces, a lone '-', or a partial number with
+# optional trailing spaces awaiting ')'.  Anything else after
+# 'uint(' can NEVER complete the typed pattern — the streaming
+# scanner fails fast instead of waiting for more input
+_TYPED_INTERIOR_VIABLE = re.compile(r"\s*|\s*-|\s*-?\d+(\.\d*)?\s*")
+
 _VERBS = {"set", "mergeset", "get", "delete", "batch", "flushbatch"}
 
 
@@ -203,6 +210,11 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
     payload does not re-scan its prefix once per chunk."""
     buf = ""
     pos = 0
+    # bytes trimmed off the front of ``buf`` at statement boundaries —
+    # error offsets report ``consumed + pos`` so a corruption
+    # gigabytes into a dump is located by its STREAM offset, not its
+    # position inside the small pending-statement buffer
+    consumed = 0
     cur: list[tuple[str, str]] = []
     # incremental scan state while blocked inside an unterminated
     # quoted token: (resume offset, escaped-flag) — each feed scans
@@ -211,7 +223,7 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
     qstate: tuple[int, bool] | None = None
 
     def scan(final: bool):
-        nonlocal buf, pos, cur, qstate
+        nonlocal buf, pos, cur, qstate, consumed
         while pos < len(buf):
             m = None if qstate is not None else _TOKEN_RE.match(buf, pos)
             if m is None and (qstate is not None or buf[pos] in "\"'"):
@@ -234,7 +246,7 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
                     qstate = (off, esc)
                     if final:
                         raise ValueError(
-                            f"ns parse error at offset {pos}: "
+                            f"ns parse error at offset {consumed + pos}: "
                             f"{buf[pos:pos + 20]!r}"
                         )
                     return  # still inside the quote — wait for more
@@ -251,7 +263,7 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
                     buf[pos] == "-" and pos == len(buf) - 1
                 ):
                     raise ValueError(
-                        f"ns parse error at offset {pos}: "
+                        f"ns parse error at offset {consumed + pos}: "
                         f"{buf[pos:pos + 20]!r}"
                     )
                 return  # token split across chunks — wait for more
@@ -264,15 +276,25 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
             if (
                 not final
                 and m.lastgroup == "word"
-                and m.group().lower() in ("uint", "int", "float")
+                and m.group() in ("uint", "int", "float")
                 and m.end() < len(buf)
                 and buf[m.end()] == "("
             ):
                 # 'uint(' with the typed cast's ')' not yet arrived:
                 # committing 'uint' as a bare word here would turn
                 # uint(42) into word + garbage once the rest lands —
-                # wait until the typed pattern can match whole
-                return
+                # wait, but ONLY while the bytes after '(' are still a
+                # viable prefix of the typed interior.  'uint(x' can
+                # never match no matter what follows: waiting on it
+                # would re-fire this guard every feed and buffer the
+                # rest of the dump to EOF, breaking both the fail-fast
+                # and the bounded-memory contracts
+                if _TYPED_INTERIOR_VIABLE.fullmatch(buf, m.end() + 1):
+                    return
+                raise ValueError(
+                    f"ns parse error at offset {consumed + pos}: "
+                    f"{buf[pos:pos + 20]!r}"
+                )
             kind = m.lastgroup
             tok = m.group()
             if kind == "semi":
@@ -282,6 +304,7 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
                 # statement boundary: everything before it is done —
                 # trim the buffer so memory tracks the PENDING
                 # statement, not the dump
+                consumed += m.end()
                 buf = buf[m.end():]
                 pos = 0
                 continue
@@ -291,6 +314,7 @@ def iter_parse_ns(chunks) -> "Iterator[Command]":
             if kind == "word" and tok.lower() == "using" and _statement_complete(cur):
                 yield _build_command(cur)
                 cur = [(kind, tok)]
+                consumed += m.start()
                 buf = buf[m.start():]
                 pos = len(tok)
                 continue

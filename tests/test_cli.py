@@ -490,3 +490,33 @@ def test_serve_loop_defaults_to_index_primary_field(spark, tmp_path):
     assert {r["doc_id"] for r in lines[1]["batch"][1]["results"]} == {0, 2}
     # explicit field request ≡ defaulted
     assert lines[2]["batch"][0]["results"] == lines[0]["batch"][0]["results"]
+
+
+def test_search_defaults_to_index_primary_field(spark, tmp_path, capsys):
+    """`cli search` without --field must score the index's primary
+    analyzed field: the hardcoded "text" default silently returned
+    empty results (exit 0) for every query against an index built on
+    custom fields — the same bug class the stdin and HTTP transports
+    fixed (they default to idx.primary_field; so must the CLI)."""
+    d = str(tmp_path / "fld_cli_idx")
+    docs = spark.createDataFrame(
+        [(0, "acme corp"), (1, "globex inc"), (2, "acme holdings")],
+        "doc_id long, company_name string",
+    )
+    IndexBuilder(d, analyzed_fields=["company_name"], span=64).build(docs)
+    rc = cli.main(["search", "--index", d, "--query", "acme"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert {r["doc_id"] for r in out["results"]} == {0, 2}
+    # explicit --field must give the identical results
+    rc = cli.main(
+        ["search", "--index", d, "--query", "acme", "--field", "company_name"]
+    )
+    assert rc == 0
+    explicit = json.loads(capsys.readouterr().out)
+    assert explicit["results"] == out["results"]
+    # the dry-run explain surface resolves the default the same way
+    rc = cli.main(["search", "--index", d, "--query", "acme", "--dry-run"])
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["dry_run"] is True and "company_name" in json.dumps(plan)

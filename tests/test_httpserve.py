@@ -6,6 +6,7 @@ document lifecycle over a fresh index."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.request
 
@@ -447,5 +448,144 @@ def test_dsl_limit_defaults_to_server_k(spark, tmp_path):
             base + "/kidx", "POST", {"query": {"role": "user"}, "limit": 5}
         )
         assert len(out["results"]) == 5
+    finally:
+        srv.shutdown()
+
+
+def test_pending_prefix_value_type_validates_like_live(http_srv):
+    """$prefix VALUE-type errors must 400 identically pending vs
+    live: the type check lives in _eval_dsl itself, so the stub-backed
+    pending path and the live path raise the same error (the stubs
+    previously accepted any $prefix value → 200 pending / 400 live)."""
+    srv, base = http_srv
+    assert "error" not in _req(base + "/pfxtyped", "PUT", {"fields": ["text"]})
+    try:
+        body = {"query": {"text": {"$prefix": 123}}}
+        pend = _req(base + "/pfxtyped/", "POST", body)
+        live = _req(base + "/warmidx/", "POST", body)
+        assert "error" in pend and "error" in live
+        assert pend["error"] == live["error"]  # same message, same status
+        assert "$prefix" in pend["error"]
+        # a string $prefix on the pending index still answers empty
+        ok = _req(
+            base + "/pfxtyped/", "POST", {"query": {"text": {"$prefix": "a"}}}
+        )
+        assert ok == {"total": 0, "results": []}
+    finally:
+        _req(base + "/pfxtyped", "DELETE")
+
+
+def test_add_racing_delete_cannot_resurrect_index(spark, tmp_path, monkeypatch):
+    """POST add re-checks existence INSIDE write_lock: an add whose
+    route-level (unlocked) exists() passed just before a DELETE
+    completed must answer the missing-index error, NOT recreate the
+    acknowledged-deleted index with inferred fields."""
+    import shutil as _shutil
+    import threading as _threading
+
+    root = str(tmp_path / "race_root")
+    srv = serve_http(spark, root, port=0)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert "created" in _req(
+            base + "/raceidx", "PUT", {"fields": ["text"]}
+        )["status"]
+        cls = type(srv)
+        real_exists = cls.exists
+        state = {"fired": False}
+
+        def racy_exists(self, name):
+            ok = real_exists(self, name)
+            if ok and name == "raceidx" and not state["fired"]:
+                # the DELETE lands in the window between the
+                # route-level check and the add taking write_lock
+                state["fired"] = True
+                with self.write_lock:
+                    self.invalidate(name)
+                    _shutil.rmtree(self.index_dir(name))
+                return True  # what the pre-delete check observed
+            return ok
+
+        monkeypatch.setattr(cls, "exists", racy_exists)
+        resp = _req(base + "/raceidx/5", "POST", {"text": "alpha beta"})
+        monkeypatch.undo()
+        assert resp == {"error": "Index 'raceidx' doesn't exists."}
+        # NOT resurrected: no directory, no create.json, nothing indexed
+        assert not srv.exists("raceidx")
+        assert not os.path.exists(srv.index_dir("raceidx"))
+    finally:
+        srv.shutdown()
+
+
+def test_create_write_failure_does_not_poison_name(spark, tmp_path, monkeypatch):
+    """A PUT whose create.json write dies mid-stream must answer a
+    JSON error and leave NO trace (tmp + os.replace): a truncated
+    create.json would make exists() true — blocking the corrective
+    PUT with already-exists — while every add 400s on json.load,
+    poisoning the name until someone hand-deletes the file."""
+    import threading as _threading
+
+    import neosearch_spark.httpserve as hs
+
+    root = str(tmp_path / "atomic_root")
+    srv = serve_http(spark, root, port=0)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        real_dump = hs.json.dump
+
+        def dying_dump(obj, fp, **kw):
+            fp.write('{"fields": ')  # partial bytes hit the disk...
+            fp.flush()
+            raise OSError("disk full")  # ...then the write dies
+
+        monkeypatch.setattr(hs.json, "dump", dying_dump)
+        resp = _req(base + "/atomidx", "PUT", {"fields": ["text"]})
+        monkeypatch.setattr(hs.json, "dump", real_dump)
+        assert resp == {"error": "disk full"}
+        # nothing persisted: not exists, no truncated file, no .tmp
+        assert not srv.exists("atomidx")
+        d = srv.index_dir("atomidx")
+        assert not os.path.exists(os.path.join(d, "create.json"))
+        assert not os.path.exists(os.path.join(d, "create.json.tmp"))
+        # the retry PUT succeeds — the name was never poisoned
+        assert "created" in _req(
+            base + "/atomidx", "PUT", {"fields": ["text"]}
+        )["status"]
+    finally:
+        srv.shutdown()
+
+
+def test_delete_fs_failure_answers_json(spark, tmp_path, monkeypatch):
+    """DELETE answers {"error": ...} JSON when the filesystem removal
+    fails, like every other route — an escaping OSError dropped the
+    connection and printed a traceback onto the JSON status stream."""
+    import threading as _threading
+
+    import neosearch_spark.httpserve as hs
+
+    root = str(tmp_path / "delfail_root")
+    srv = serve_http(spark, root, port=0)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert "created" in _req(
+            base + "/delidx", "PUT", {"fields": ["text"]}
+        )["status"]
+
+        def dying_rmtree(path, **kw):
+            raise OSError("permission denied mid-removal")
+
+        monkeypatch.setattr(hs.shutil, "rmtree", dying_rmtree)
+        resp = _req(base + "/delidx", "DELETE")
+        monkeypatch.undo()
+        assert resp == {"error": "permission denied mid-removal"}
+        # the index is still there and a clean DELETE now works
+        assert srv.exists("delidx")
+        assert _req(base + "/delidx", "DELETE")["status"] == "Index 'delidx' deleted."
     finally:
         srv.shutdown()

@@ -589,3 +589,47 @@ def test_executor_rejects_non_integral_float_keys(spark, tmp_path):
     ok = parse_ns('using a.document.db set float(2.0) \'{"doc_id": 2, "text": "y"}\';')[0]
     ex.execute(ok)
     assert ex._sets and ex._sets[-1][0] == 2
+
+
+def test_iter_parse_ns_malformed_typed_cast_fails_fast():
+    """'uint(x' can never match the typed pattern no matter what
+    arrives next — the wait-for-the-closing-paren guard must fail NOW
+    instead of re-firing every feed and buffering the rest of the
+    dump to EOF (the bounded-memory/fail-fast contract)."""
+    from neosearch_spark.nscript import iter_parse_ns
+
+    pulled = {"later": 0}
+
+    def chunks():
+        yield 'using a.document.db set uint(x) "v"; '
+        for _ in range(50):
+            pulled["later"] += 1
+            yield "using a.document.db get 1; "
+
+    with pytest.raises(ValueError, match="parse error"):
+        list(iter_parse_ns(chunks()))
+    # died while scanning the corrupt chunk — no later chunk was pulled
+    assert pulled["later"] == 0
+
+    # a VIABLE split cast still waits and completes across chunks
+    got = list(
+        iter_parse_ns(["using a.document.db set uin", "t(4", '2) "v";'])
+    )
+    assert got[0].key == 42
+
+    # a viable-but-unfinished cast at EOF is an error, not a hang
+    with pytest.raises(ValueError, match="parse error"):
+        list(iter_parse_ns(["using a.document.db set uint(4"]))
+
+
+def test_iter_parse_ns_error_offset_is_stream_relative():
+    """The buffer trims at every statement boundary, so the error
+    offset must count CONSUMED bytes too — a corruption gigabytes
+    into a dump is located by its stream offset, not its position
+    inside the small pending-statement buffer."""
+    from neosearch_spark.nscript import iter_parse_ns
+
+    good = "using a.document.db get 1; " * 40
+    bad = good + "@@@"
+    with pytest.raises(ValueError, match=f"offset {len(good)}"):
+        list(iter_parse_ns([bad[i : i + 7] for i in range(0, len(bad), 7)]))
