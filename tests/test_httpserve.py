@@ -589,3 +589,114 @@ def test_delete_fs_failure_answers_json(spark, tmp_path, monkeypatch):
         assert _req(base + "/delidx", "DELETE")["status"] == "Index 'delidx' deleted."
     finally:
         srv.shutdown()
+
+
+def test_randomized_op_sequence_server_stays_consistent(spark, tmp_path):
+    """Seeded random walk over the full route table (valid AND
+    malformed requests interleaved): every response must parse as a
+    JSON object, the server must never drop a connection, and the
+    observable index-existence model must track a driver-side model
+    exactly (create/delete/add visibility, already-exists and
+    missing-index errors included)."""
+    import random
+    import threading as _threading
+
+    root = str(tmp_path / "fuzz_root")
+    srv = serve_http(spark, root, port=0)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    rng = random.Random(1337)
+    names = ["fuzza", "fuzzb", "fuzzc"]
+    model: dict[str, set[int]] = {}  # name -> doc ids added
+    try:
+        for _step in range(60):
+            name = rng.choice(names)
+            op = rng.choice(
+                ["create", "create_bad", "add", "add_bad", "search",
+                 "dsl", "dsl_bad", "get", "delete", "info"]
+            )
+            if op == "create":
+                r = _req(base + f"/{name}", "PUT", {"fields": ["text"]})
+                if name in model:
+                    assert r == {"error": f"Index '{name}' already exists."}
+                else:
+                    assert r == {"status": f"Index '{name}' created."}
+                    model[name] = set()
+            elif op == "create_bad":
+                r = _req(base + f"/{name}", "PUT", {"fields": "text"})
+                if name in model:
+                    # already-exists wins over the malformed body
+                    assert r == {"error": f"Index '{name}' already exists."}
+                else:
+                    assert "must be a non-empty" in r["error"]
+            elif op == "add":
+                did = rng.randint(1, 6)
+                r = _req(
+                    base + f"/{name}/{did}", "POST",
+                    {"text": f"tok{rng.randint(1, 4)} alpha"},
+                )
+                if name in model:
+                    assert r == {"status": f"Document {did} indexed."}
+                    model[name].add(did)
+                else:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+            elif op == "add_bad":
+                r = _req(base + f"/{name}/notanint", "POST", {"text": "x"})
+                if name in model:
+                    assert r == {"error": "Invalid document id"}
+                else:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+            elif op == "search":
+                r = _req(base + f"/{name}", "POST", {"queries": ["alpha"]})
+                if name not in model:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+                elif not model[name]:
+                    assert r["batch"][0]["results"] == []
+                else:
+                    got = {x["doc_id"] for x in r["batch"][0]["results"]}
+                    assert got == model[name]  # every doc contains 'alpha'
+            elif op == "dsl":
+                r = _req(
+                    base + f"/{name}", "POST",
+                    {"query": {"text": {"$prefix": "tok"}}},
+                )
+                if name not in model:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+                else:
+                    assert {x["doc_id"] for x in r["results"]} == model[name]
+                    assert r["total"] == len(model[name])
+            elif op == "dsl_bad":
+                r = _req(
+                    base + f"/{name}", "POST",
+                    {"query": {"text": {"$prefix": 5}}},
+                )
+                if name not in model:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+                else:
+                    # identical error pending or live
+                    assert r["error"] == "$prefix value must be a string, got int"
+            elif op == "get":
+                did = rng.randint(1, 6)
+                r = _req(base + f"/{name}/{did}")
+                if name not in model:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+                elif did in model[name]:
+                    assert r["doc_id"] == did
+                else:
+                    assert "error" in r
+            elif op == "delete":
+                r = _req(base + f"/{name}", "DELETE")
+                if name in model:
+                    assert r == {"status": f"Index '{name}' deleted."}
+                    del model[name]
+                else:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+            elif op == "info":
+                r = _req(base + f"/{name}")
+                if name in model:
+                    assert "error" not in r
+                else:
+                    assert r == {"error": f"Index '{name}' doesn't exists."}
+    finally:
+        srv.shutdown()
