@@ -139,7 +139,13 @@ def main() -> None:
 
     idx_dir = f"{scratch}/bench_index"
     build_sec = None
-    for _ in range(2):
+    # the build is the longest single measurement (~12 s) and thus the
+    # most exposed to the box's multi-second steal windows — measured
+    # spread on IDENTICAL code: 11.5 / 16.8 / 34.0 s across solo runs
+    # (2026-08-20).  min of 3 (vs 2 elsewhere) keeps the headline
+    # number close to the engine's true cost without tripling the
+    # whole suite.
+    for _ in range(3):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         docs = assign_doc_ids(spark.read.parquet(corpus_dir))
@@ -194,7 +200,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "protocol": (
-                    "per-query/build timings = min of 2 runs (r4); "
+                    "per-query timings = min of 2 runs (r4); "
+                    "index_build = min of 3 (r5: longest single "
+                    "measurement, most exposed to host steal); "
                     "value = harness wall-clock INCLUDING repeats "
                     "(not comparable to r1-r3 totals; sum the "
                     "queries dict for a like-for-like suite cost)"
