@@ -96,7 +96,10 @@ def fingerprint_dedup(docs: DataFrame, field: str = "text", n_prefix_tokens: int
 
 
 def minhash_signatures(
-    docs: DataFrame, field: str = "text", n_hashes: int = 16
+    docs: DataFrame,
+    field: str = "text",
+    n_hashes: int = 16,
+    shape: str = "grouped",
 ) -> DataFrame:
     """MinHash signatures over the distinct-token set.
 
@@ -109,9 +112,61 @@ def minhash_signatures(
     hashes suffice for the family).  h2's 44-bit width keeps
     ``h1 + i*h2`` inside int64 for i ≤ ~2000 (no ANSI overflow).
 
-    One explode + one groupBy(doc_id) with n_hashes min aggregates —
-    the explode is the only fan-out (× n_hashes is applied as column
-    expressions over the shared digest, not rows)."""
+    Two measured plan shapes, identical output (A/B'd like the
+    hot-term dictionary and the grouped block encoder):
+
+    - ``shape="grouped"`` (default): explode → distinct →
+      groupBy(doc_id) with n_hashes min aggregates.  Two exchanges,
+      but every expression stays inside whole-stage codegen, and
+      because each doc's tokens live in one input row, partial
+      aggregation reduces the second shuffle to one row per doc.
+    - ``shape="rowlocal"`` (opt-in): zero exchanges — per-doc
+      distinct tokens via ``array_distinct``, each permutation min
+      via ``array_min(transform(...))``, digests hoisted into their
+      own ``transform`` pass so md5 runs once per token (lambda
+      bodies get no subexpression elimination).  Higher-order
+      functions are CodegenFallback-interpreted, so this trades CPU
+      for shuffle: the right trade only when the cluster is
+      network/shuffle-bound (the avoided exchange carries the full
+      per-doc distinct-token stream — approximately the tokenized
+      corpus size).
+
+    A/B at sf0.1 (5k docs, local[32], min-of-3, noop sink,
+    2026-08-20): n=4 grouped 0.752 s vs rowlocal 1.297 s; n=16
+    grouped 0.735 s vs rowlocal 0.915 s — compute-bound local mode
+    favors grouped, hence the default.  Value-identity of the two
+    shapes is pytest-asserted."""
+    if shape == "rowlocal":
+        toks = F.array_distinct(
+            F.filter(tokens_col(F.col(field)), lambda t: t != F.lit(""))
+        )
+        # digest in its own pass: subexpression elimination is
+        # skipped inside lambdas, so md5 written once per (h1, h2)
+        # pair in a single transform would run twice per token
+        digests = F.transform(toks, lambda t: F.md5(t))
+        hs = F.transform(
+            digests,
+            lambda d: F.struct(
+                F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(d, 17, 11), 16, 10).cast("long").alias("h2"),
+            ),
+        )
+        staged = docs.select("doc_id", hs.alias("_hs")).where(F.size("_hs") > 0)
+        mask = (1 << 60) - 1
+        sig_cols = [
+            F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    lambda s: (s["h1"] + F.lit(i) * s["h2"]).bitwiseAND(
+                        F.lit(mask)
+                    ),
+                )
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+        return staged.select("doc_id", *sig_cols)
+    if shape != "grouped":
+        raise ValueError(f"unknown minhash shape {shape!r}")
     digest = F.md5(F.col("token"))
     h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(digest, 17, 11), 16, 10).cast("long")
@@ -136,12 +191,26 @@ def minhash_lsh_buckets(
     field: str = "text",
     n_hashes: int = 16,
     band_size: int = 4,
+    shape: str = "grouped",
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``band_size``;
     band hash = md5 of the concatenated band values.  Output: buckets
     holding ≥2 docs — the candidate groups.  Join-free; the bucket
-    groupBy key spreads uniformly (hash values)."""
-    sigs = minhash_signatures(docs, field, n_hashes)
+    groupBy key spreads uniformly (hash values).
+
+    Single-fan-out plan (r5): the n_bands band hashes are computed
+    row-locally over the signature columns and fanned out with ONE
+    ``posexplode``; the bucket groupBy is the only shuffle this
+    stage adds.  The previous shape unioned n_bands projections of
+    the signature plan — correct (the branches shared the
+    signature exchange via ReusedExchange) but it re-ran the
+    post-aggregation projection per band and depended on exchange
+    reuse surviving AQE.  Measured parity at sf0.1 (min-of-3:
+    union 1.09 s, posexplode 1.27 s, within the box's noise band);
+    chosen for the structurally simpler single-pass plan.
+    ``shape`` is forwarded to :func:`minhash_signatures` (with
+    ``"rowlocal"`` the whole candidate generation is one scan plus
+    the single bucket exchange)."""
     if n_hashes % band_size != 0:
         raise ValueError(
             f"n_hashes={n_hashes} not divisible by band_size="
@@ -149,22 +218,27 @@ def minhash_lsh_buckets(
             "and measured recall would undershoot the configured "
             "S-curve"
         )
+    sigs = minhash_signatures(docs, field, n_hashes, shape=shape)
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                _h60(F.concat_ws("|", *cols)).alias("band_hash"),
+    band_hashes = F.array(
+        *[
+            _h60(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
+                )
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
     return (
-        allb.groupBy("band", "band_hash")
+        exploded.groupBy("band", "band_hash")
         .agg(
             F.count(F.lit(1)).cast("long").alias("bucket_size"),
             F.min("doc_id").alias("min_doc"),

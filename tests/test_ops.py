@@ -52,6 +52,48 @@ def test_minhash_lsh_buckets(spark, dup_docs):
     assert any(r["bucket_size"] >= 3 for r in buckets)
 
 
+def test_minhash_shapes_identical_and_plan_bounds(spark, dup_docs):
+    """The grouped (default) and rowlocal signature shapes return the
+    same rows; rowlocal's plan has ZERO exchanges (its reason to
+    exist) and the posexplode banding plan contains no Union and
+    exactly one hash exchange beyond the signature's own."""
+    g = sorted(tuple(r) for r in
+               dedup.minhash_signatures(dup_docs, n_hashes=8).collect())
+    rl = sorted(tuple(r) for r in
+                dedup.minhash_signatures(dup_docs, n_hashes=8,
+                                         shape="rowlocal").collect())
+    assert g == rl and len(g) > 0
+
+    rl_plan = (dedup.minhash_signatures(dup_docs, n_hashes=8,
+                                        shape="rowlocal")
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in rl_plan
+
+    lsh_plan = (dedup.minhash_lsh_buckets(dup_docs, n_hashes=8,
+                                          band_size=4)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Union" not in lsh_plan
+    # banding adds exactly ONE hash exchange (the bucket groupBy)
+    # over whatever the signature plan needs (+ the presentation
+    # orderBy's range exchange)
+    sig_plan = (dedup.minhash_signatures(dup_docs, n_hashes=8)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert (lsh_plan.count("Exchange hashpartitioning")
+            == sig_plan.count("Exchange hashpartitioning") + 1)
+
+    lsh_rl = sorted(tuple(r) for r in
+                    dedup.minhash_lsh_buckets(dup_docs, n_hashes=8,
+                                              band_size=4,
+                                              shape="rowlocal").collect())
+    lsh_g = sorted(tuple(r) for r in
+                   dedup.minhash_lsh_buckets(dup_docs, n_hashes=8,
+                                             band_size=4).collect())
+    assert lsh_rl == lsh_g
+
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(dup_docs, shape="nope")
+
+
 def test_simhash_close_for_neardups(spark, dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs, bits=32).collect()}
     def hamming(a, b):
