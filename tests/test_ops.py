@@ -94,6 +94,76 @@ def test_minhash_shapes_identical_and_plan_bounds(spark, dup_docs):
         dedup.minhash_signatures(dup_docs, shape="nope")
 
 
+def test_random_string_parity_minhash_simhash_vs_python_twin(spark):
+    """Seeded random sweep: MinHash signatures (both plan shapes) and
+    SimHash must match a pure-Python twin (hashlib.md5 over UTF-8,
+    same K-M mix / per-bit sums) on arbitrary strings — tabs,
+    unicode, control chars, multi-space runs, empty docs.  The
+    DuckDB oracle covers realistic corpus text at sf0.01; this
+    covers the byte-level edges it can't enumerate, and pins the
+    hash family itself (a silent md5-substring or mix change would
+    still pass structural tests like co-bucketing)."""
+    import hashlib
+    import random
+
+    from neosearch_spark.oracle import tokenize
+
+    rng = random.Random(20260820)
+    alphabet = "ab YZ09._-'\"\\$;() \t\n\r\x0b  éÓß中日́\x00\x1f"
+    texts = ["", " ", "a", "a  b", "x x x"]
+    for _ in range(200):
+        n = rng.randint(0, 40)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    mask = (1 << 60) - 1
+    n_hashes, bits = 6, 16
+
+    def py_minhash(text):
+        toks = {t for t in tokenize(text) if t != ""}
+        if not toks:
+            return None
+        pairs = []
+        for t in toks:
+            d = hashlib.md5(t.encode("utf-8")).hexdigest()
+            pairs.append((int(d[0:15], 16), int(d[16:27], 16)))
+        return tuple(
+            min((h1 + i * h2) & mask for h1, h2 in pairs)
+            for i in range(n_hashes)
+        )
+
+    def py_simhash(text):
+        occ = [t for t in tokenize(text) if t != ""]
+        if not occ:
+            return None
+        sums = [0] * bits
+        for t in occ:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[0:15], 16)
+            for j in range(bits):
+                sums[j] += ((h >> j) & 1) * 2 - 1
+        return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+    want_mh = {i: py_minhash(t) for i, t in enumerate(texts)}
+    want_sh = {i: py_simhash(t) for i, t in enumerate(texts)}
+
+    for shape in ("grouped", "rowlocal"):
+        got = {
+            r["doc_id"]: tuple(r[f"mh{i}"] for i in range(n_hashes))
+            for r in dedup.minhash_signatures(
+                docs, n_hashes=n_hashes, shape=shape
+            ).collect()
+        }
+        assert got == {i: s for i, s in want_mh.items() if s is not None}, shape
+
+    got_sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, bits=bits).collect()
+    }
+    assert got_sh == {i: s for i, s in want_sh.items() if s is not None}
+
+
 def test_simhash_close_for_neardups(spark, dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs, bits=32).collect()}
     def hamming(a, b):
