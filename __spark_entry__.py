@@ -781,6 +781,35 @@ SELECT doc_id,
   round((CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END)
         * (1.0 - CASE WHEN len(norm) > 0 THEN (len(norm) - len(regexp_replace(norm, '[^\\w\\s]', '', 'g')))::DOUBLE / len(norm) ELSE 0 END), 6) AS quality
 FROM t ORDER BY doc_id"""
+    o["text_repetition"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS l FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(2, greatest(len(l) + 1, 2)), i -> l[i-1] || ' ' || l[i])) AS bg FROM t),
+bc AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c)::BIGINT AS n_bg, max(c)::BIGINT AS max_c,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_c
+        FROM bc GROUP BY 1)
+SELECT t.doc_id,
+  len(l)::BIGINT AS n_tok,
+  coalesce(n_bg, 0)::BIGINT AS n_bigrams,
+  round(CASE WHEN coalesce(n_bg, 0) > 0 THEN max_c::DOUBLE / n_bg ELSE 0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN coalesce(n_bg, 0) > 0 THEN dup_c::DOUBLE / n_bg ELSE 0 END, 6) AS dup_bigram_frac,
+  round(CASE WHEN len(l) > 0 THEN (len(l) - len(list_distinct(l)))::DOUBLE / len(l) ELSE 0 END, 6) AS dup_token_frac
+FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    o["curate_contamination"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS l FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 6, 1)),
+        i -> ('0x' || substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15))::BIGINT)) AS gram FROM t),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+bs AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+agg AS (SELECT dg.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN bs.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM dg LEFT JOIN bs ON dg.gram = bs.gram GROUP BY 1)
+SELECT t.doc_id,
+  coalesce(n_grams, 0)::BIGINT AS n_grams,
+  coalesce(n_hit, 0)::BIGINT AS n_hit,
+  round(CASE WHEN coalesce(n_grams, 0) > 0 THEN n_hit::DOUBLE / n_grams ELSE 0 END, 6) AS contamination_frac,
+  coalesce(n_hit, 0) > 0 AS contaminated
+FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
     o["text_token_counts"] = """
 SELECT doc_id,
   len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))::BIGINT AS ws_tokens,
@@ -987,6 +1016,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_buckets(
         _docs(s, d), n_hashes=8, band_size=2
     )
+    # r5 training-data additions (public methodology: Gopher/
+    # MassiveText repetition filters, GPT-2/3 8-gram decontamination)
+    q["text_repetition"] = lambda s, d: textstats.repetition_stats(
+        _docs(s, d)
+    ).orderBy("doc_id")
+    # benchmark = every 97th doc of the same corpus: deterministic,
+    # self-contained, and guarantees both contaminated docs (the
+    # benchmark docs themselves, frac 1.0) and clean ones
+    q["curate_contamination"] = lambda s, d: curate.contamination_check(
+        _docs(s, d), _docs(s, d).where(F.col("doc_id") % 97 == 0), n=8
+    ).orderBy("doc_id")
     return q
 
 

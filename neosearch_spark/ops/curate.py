@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analyzer import doc_len_col
+from ..analyzer import doc_len_col, tokens_col
 
 # 60-bit hash fraction denominator (15 hex digits — same keyspace as
 # the dedup hash trick, fits a signed int64 exactly)
@@ -142,3 +142,87 @@ def pack_shards(
         .select(order_col, "n_tokens", "shard_id")
     )
     return out
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    field: str = "text",
+    n: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap of token
+    n-grams with a benchmark/eval set — the GPT-2/GPT-3 style
+    train-test overlap check (Radford et al. 2019 §4; Brown et al.
+    2020 appendix C use 8-grams, the default here).  A training doc
+    sharing even one n-gram with an eval document is flagged so
+    pipelines can drop or audit it before training.
+
+    Output (one row per input doc, including short ones):
+    ``doc_id``, ``n_grams`` (DISTINCT n-grams in the doc; 0 when the
+    doc has fewer than n tokens), ``n_hit`` (distinct n-grams also
+    present anywhere in the benchmark), ``contamination_frac``
+    (n_hit / n_grams), ``contaminated`` (n_hit > 0).
+
+    Shape: n-gram arrays are built ROW-LOCALLY on both sides
+    (sequence/transform over the non-empty token sequence), hashed
+    to the portable 60-bit md5 family (8 B per gram instead of the
+    gram string), exploded, and per-doc deduplicated by a
+    groupBy(doc_id, gram) whose map-side partial aggregation
+    collapses each doc's duplicates before the shuffle.  The
+    benchmark side reduces to a DISTINCT hash set and is explicitly
+    ``F.broadcast`` — eval suites are small next to a training
+    corpus (10^6 distinct 8-grams ≈ 8 MB); for a benchmark too big
+    to broadcast, drop the hint and the same plan shuffle-joins.
+    Left join + flag aggregation keeps never-contaminated docs in
+    the output.  ``explode_outer`` keeps sub-n-token docs.  No
+    Python in the plan."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(tokens_col(F.col(field)), lambda t: t != "")
+        base = df.select("doc_id", toks.alias("_toks"))
+        nt = F.size(F.col("_toks"))
+        # join n consecutive tokens, hash to 60 bits (same md5
+        # family as ops/dedup so engines agree byte-for-byte);
+        # sequence(1, 0) would step downward — guard short docs
+        arr = F.when(
+            nt >= n,
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {n} + 1),"
+                f" i -> cast(conv(substring(md5(concat_ws(' ',"
+                f" slice(_toks, i, {n}))), 1, 15), 16, 10) as bigint))"
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return base.select("doc_id", F.explode_outer(arr).alias("gram"))
+
+    doc_grams = (
+        grams(docs)
+        .groupBy("doc_id", "gram")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    bench_set = (
+        grams(benchmark)
+        .where(F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_set), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.col("gram")).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams"),
+            ).otherwise(0.0),
+            round_to,
+        ).alias("contamination_frac"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+    )

@@ -94,6 +94,77 @@ def token_counts(docs: DataFrame, field: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame, field: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Within-document repetition features — the MassiveText/Gopher
+    repetition filter family (Rae et al. 2021, "Scaling Language
+    Models", table A1: documents dominated by a few repeated
+    n-grams are boilerplate/spam and get dropped before training):
+
+    - ``n_tok``           non-empty tokens
+    - ``n_bigrams``       token 2-gram occurrences (= n_tok-1, 0 for
+                          0/1-token docs)
+    - ``top_bigram_frac`` occurrences of the MOST FREQUENT bigram /
+                          n_bigrams ("top n-gram fraction")
+    - ``dup_bigram_frac`` occurrences of bigrams appearing ≥2 times /
+                          n_bigrams ("duplicate n-gram fraction")
+    - ``dup_token_frac``  (n_tok - distinct tokens) / n_tok
+
+    Shape: the bigram array is built ROW-LOCALLY (consecutive pairs
+    of the non-empty token sequence via a sequence/transform
+    expression), then one explode feeds groupBy(doc_id, bigram) →
+    groupBy(doc_id) — two hash exchanges, both reduced by map-side
+    partial aggregation (a doc's bigrams sit in one input row, so
+    the second shuffle carries one row per doc).  ``explode_outer``
+    keeps 0/1-token docs in the output with zero fractions; the
+    token-level counts ride the same stream via ``first()`` instead
+    of a second scan or a join.  All expressions JVM-side."""
+    toks = F.filter(tokens_col(F.col(field)), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("_toks"))
+    nt = F.size(F.col("_toks"))
+    # sequence(1, 0) would step DOWNWARD ([1,0]) — guard short docs
+    bigrams = F.when(
+        nt >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> concat(_toks[i-1], ' ', _toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        "doc_id",
+        nt.cast("long").alias("_nt"),
+        F.size(F.array_distinct(F.col("_toks"))).cast("long").alias("_nd"),
+        F.explode_outer(bigrams).alias("bg"),
+    )
+    bc = ex.groupBy("doc_id", "bg").agg(
+        F.count(F.col("bg")).cast("long").alias("c"),
+        F.first("_nt").alias("_nt"),
+        F.first("_nd").alias("_nd"),
+    )
+    agg = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("_max_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("_dup_c"),
+        F.first("_nt").alias("_nt"),
+        F.first("_nd").alias("_nd"),
+    )
+    nb = F.col("n_bigrams")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0), round_to
+    )
+    return agg.select(
+        "doc_id",
+        F.col("_nt").alias("n_tok"),
+        "n_bigrams",
+        frac(F.col("_max_c"), nb).alias("top_bigram_frac"),
+        frac(F.col("_dup_c"), nb).alias("dup_bigram_frac"),
+        frac(F.col("_nt") - F.col("_nd"), F.col("_nt")).alias("dup_token_frac"),
+    )
+
+
 def lang_id(docs: DataFrame, field: str = "text") -> DataFrame:
     """Stopword-marker language heuristic: score per language =
     marker hits in the token set; argmax with fixed language order

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from neosearch_spark.ops import ann, dedup, multimodal, textstats
+from neosearch_spark.ops import ann, curate, dedup, multimodal, textstats
 
 
 @pytest.fixture(scope="module")
@@ -92,6 +92,65 @@ def test_minhash_shapes_identical_and_plan_bounds(spark, dup_docs):
 
     with pytest.raises(ValueError):
         dedup.minhash_signatures(dup_docs, shape="nope")
+
+
+def test_repetition_stats_golden(spark):
+    """Pinned values for the Gopher-style repetition features,
+    including the 0/1-token docs the explode would drop without
+    explode_outer."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # bigrams: "a b"x3, "b a"x2
+            (1, "x y z w"),
+            (2, "solo"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert len(rows) == 4
+    r0 = rows[0]
+    assert (r0["n_tok"], r0["n_bigrams"]) == (6, 5)
+    assert r0["top_bigram_frac"] == 0.6
+    assert r0["dup_bigram_frac"] == 1.0
+    assert r0["dup_token_frac"] == round(4 / 6, 6)
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[1]["top_bigram_frac"] == round(1 / 3, 6)
+    for did in (2, 3):
+        r = rows[did]
+        assert (r["n_bigrams"], r["top_bigram_frac"], r["dup_bigram_frac"]) == (0, 0.0, 0.0)
+
+
+def test_contamination_check_golden(spark):
+    """8-gram benchmark-overlap decontamination: a doc sharing one
+    8-gram with the benchmark is flagged with the exact fraction;
+    sub-8-token docs and clean docs stay unflagged but present."""
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "totally different words with no overlap at all here"),
+            (2, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in curate.contamination_check(docs, bench, n=8).collect()}
+    assert len(rows) == 3
+    # doc 0 has 3 distinct 8-grams; exactly one (two..nine) is the
+    # benchmark doc's single 8-gram
+    assert (rows[0]["n_grams"], rows[0]["n_hit"]) == (3, 1)
+    assert rows[0]["contamination_frac"] == round(1 / 3, 6)
+    assert rows[0]["contaminated"] is True
+    assert (rows[1]["n_hit"], rows[1]["contaminated"]) == (0, False)
+    assert (rows[2]["n_grams"], rows[2]["contaminated"]) == (0, False)
+    # self-contamination sanity: a benchmark doc checked against the
+    # same benchmark is fully contaminated
+    self_rows = curate.contamination_check(bench, bench, n=8).collect()
+    assert self_rows[0]["contamination_frac"] == 1.0
 
 
 def test_random_string_parity_minhash_simhash_vs_python_twin(spark):
