@@ -810,6 +810,19 @@ SELECT t.doc_id,
   round(CASE WHEN coalesce(n_grams, 0) > 0 THEN n_hit::DOUBLE / n_grams ELSE 0 END, 6) AS contamination_frac,
   coalesce(n_hit, 0) > 0 AS contaminated
 FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    o["curate_scrub_pii"] = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text,
+  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+   + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+   + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')))::BIGINT AS n_pii
+FROM documents ORDER BY doc_id"""
     o["text_token_counts"] = """
 SELECT doc_id,
   len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))::BIGINT AS ws_tokens,
@@ -1026,6 +1039,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # benchmark docs themselves, frac 1.0) and clean ones
     q["curate_contamination"] = lambda s, d: curate.contamination_check(
         _docs(s, d), _docs(s, d).where(F.col("doc_id") % 97 == 0), n=8
+    ).orderBy("doc_id")
+    # PII-free fixture corpus → counts all zero, but the gate still
+    # value-compares the REDACTED text byte-for-byte across engines
+    # (regex-dialect parity is the risk this oracle guards)
+    q["curate_scrub_pii"] = lambda s, d: curate.scrub_pii(
+        _docs(s, d)
     ).orderBy("doc_id")
     return q
 

@@ -226,3 +226,58 @@ def contamination_check(
         ).alias("contamination_frac"),
         (F.col("n_hit") > 0).alias("contaminated"),
     )
+
+
+# PII patterns chosen for engine-portable semantics: pure character
+# classes + \b, no lookaround/backreferences, so Java regex (Spark)
+# and RE2 (DuckDB oracle) match identical spans
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def scrub_pii(docs: DataFrame, field: str = "text") -> DataFrame:
+    """PII redaction + audit counts — the standard pre-training
+    scrub (emails, IPv4 addresses, US-style phone numbers replaced
+    with ``<EMAIL>``/``<IPV4>``/``<PHONE>`` placeholders), as done
+    in public corpus pipelines (e.g. the BigScience ROOTS and
+    RefinedWeb preprocessing describe exactly this regex-redaction
+    pass).
+
+    Output: ``doc_id``, redacted ``text``, per-type match counts
+    (``n_email``, ``n_ipv4``, ``n_phone``) and their ``n_pii`` sum.
+    Counts are measured on the ORIGINAL text per type, so a span
+    matching two patterns is counted by both (audit semantics);
+    replacement applies in the fixed order email → ipv4 → phone.
+
+    Scale: one zero-shuffle projection of JVM regex expressions —
+    at 10^12 docs this is a pure map stage
+    that pipelines into whatever sink follows.  The pattern table is
+    deliberately \\b/character-class-only so the DuckDB oracle (RE2)
+    and Spark (Java regex) agree byte-for-byte."""
+    txt = F.col(field)
+    counts = {
+        name: F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = txt
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(
+        "doc_id",
+        red.alias(field),
+        counts["email"],
+        counts["ipv4"],
+        counts["phone"],
+        (
+            F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["email"]), F.lit(0)))
+            + F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["ipv4"]), F.lit(0)))
+            + F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["phone"]), F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_pii"),
+    )

@@ -153,6 +153,30 @@ def test_contamination_check_golden(spark):
     assert self_rows[0]["contamination_frac"] == 1.0
 
 
+def test_scrub_pii_golden(spark):
+    """Planted PII of each type is redacted and counted; clean text
+    passes through byte-identical; a pattern-overlap edge (IP inside
+    an email-like string that fails the TLD rule) behaves the same
+    as the documented order-of-application semantics."""
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b@x.io or c@y.org, ip 10.0.0.1 call 555-123-4567"),
+            (1, "clean text with no pii at all"),
+            (2, "edge a@10.0.0.1 and 999.999.999.999"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate.scrub_pii(docs).collect()}
+    assert rows[0]["text"] == "mail <EMAIL> or <EMAIL>, ip <IPV4> call <PHONE>"
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"],
+            rows[0]["n_pii"]) == (2, 1, 1, 4)
+    assert rows[1]["text"] == "clean text with no pii at all"
+    assert rows[1]["n_pii"] == 0
+    # a@10.0.0.1 is NOT an email (no alpha TLD) so its IP is redacted
+    assert rows[2]["text"] == "edge a@<IPV4> and <IPV4>"
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"]) == (0, 2)
+
+
 def test_random_string_parity_minhash_simhash_vs_python_twin(spark):
     """Seeded random sweep: MinHash signatures (both plan shapes) and
     SimHash must match a pure-Python twin (hashlib.md5 over UTF-8,
