@@ -42,6 +42,10 @@ HEADLINE = [
     "events_sessions",
     "dedup_incremental",
     "curate_pack_shards",
+    # r5 curation additions (extra gates)
+    "text_repetition",
+    "curate_contamination",
+    "curate_scrub_pii",
 ]
 
 BM25_BENCH_QUERIES = [
