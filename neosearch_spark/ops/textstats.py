@@ -119,7 +119,16 @@ def repetition_stats(
     the second shuffle carries one row per doc).  ``explode_outer``
     keeps 0/1-token docs in the output with zero fractions; the
     token-level counts ride the same stream via ``first()`` instead
-    of a second scan or a join.  All expressions JVM-side."""
+    of a second scan or a join.  All expressions JVM-side.
+
+    Measured and REJECTED (r5): grouping on a 60-bit md5 of the
+    bigram instead of the bigram string to shrink the exchange —
+    identical rows, but 2.51 → 2.82 s at sf0.1 (min-of-3): the
+    per-occurrence md5 costs more than the saved shuffle bytes on a
+    node-local exchange, and unlike the dedup ops the hash isn't
+    needed for semantics here.  On a network-bound cluster the
+    trade reverses the same way the MinHash ``shape`` knob does —
+    revisit there, not by default."""
     toks = F.filter(tokens_col(F.col(field)), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("_toks"))
     nt = F.size(F.col("_toks"))
