@@ -247,6 +247,104 @@ def test_random_string_parity_minhash_simhash_vs_python_twin(spark):
     assert got_sh == {i: s for i, s in want_sh.items() if s is not None}
 
 
+def test_random_string_parity_curation_ops_vs_python_twin(spark):
+    """Seeded random sweep for the r5 curation ops: repetition
+    features, 3-gram contamination, and PII scrubbing must match
+    pure-Python twins on arbitrary strings (unicode, control chars,
+    multi-space runs, digit soup that brushes the IP/phone regexes).
+    The DuckDB oracle covers realistic corpus text; this pins the
+    token/regex semantics on inputs it can't enumerate."""
+    import hashlib
+    import random
+    import re as _re
+    from collections import Counter
+
+    from neosearch_spark.oracle import tokenize
+
+    rng = random.Random(20260821)
+    alphabet = "ab YZ09._-'@\"\\$;() \t\n\r  éÓß中日 0123456789."
+    texts = ["", " ", "a b a b a b", "1.2.3.4 x@y.io 555-123-4567"]
+    for _ in range(150):
+        n = rng.randint(0, 48)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def ftoks(text):
+        return [t for t in tokenize(text) if t != ""]
+
+    # --- repetition twin ---
+    def py_rep(text):
+        toks = ftoks(text)
+        nt, nd = len(toks), len(set(toks))
+        bgs = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        nb = sum(bgs.values())
+        top = max(bgs.values()) if bgs else 0
+        dup = sum(c for c in bgs.values() if c >= 2)
+        r = lambda x: round(x, 6)  # noqa: E731
+        return (
+            nt, nb,
+            r(top / nb) if nb else 0.0,
+            r(dup / nb) if nb else 0.0,
+            r((nt - nd) / nt) if nt else 0.0,
+        )
+
+    got = {r["doc_id"]: tuple(r)[1:]
+           for r in textstats.repetition_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_rep(t), repr(t)
+
+    # --- contamination twin (n=3 so random text can actually hit) ---
+    mask_n = 3
+    bench_texts = texts[:40]
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string",
+    )
+
+    def py_grams(text):
+        toks = ftoks(text)
+        out = set()
+        for i in range(len(toks) - mask_n + 1):
+            g = " ".join(toks[i:i + mask_n])
+            out.add(int(hashlib.md5(g.encode("utf-8")).hexdigest()[0:15], 16))
+        return out
+
+    bench_set = set().union(*[py_grams(t) for t in bench_texts]) if bench_texts else set()
+
+    def py_con(text):
+        g = py_grams(text)
+        hits = len(g & bench_set)
+        return (
+            len(g), hits,
+            round(hits / len(g), 6) if g else 0.0,
+            hits > 0,
+        )
+
+    got_c = {r["doc_id"]: tuple(r)[1:]
+             for r in curate.contamination_check(docs, bench, n=mask_n).collect()}
+    for i, t in enumerate(texts):
+        assert got_c[i] == py_con(t), repr(t)
+
+    # --- PII twin (python re: same span semantics for \b + classes) ---
+    def py_pii(text):
+        red = text
+        counts = []
+        for name, pat in curate.PII_PATTERNS.items():
+            counts.append(len(_re.findall(pat, text)))
+        for name, pat in curate.PII_PATTERNS.items():
+            red = _re.sub(pat, f"<{name.upper()}>", red)
+        return (red, *counts, sum(counts))
+
+    got_p = {r["doc_id"]: tuple(r)[1:]
+             for r in curate.scrub_pii(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got_p[i] == py_pii(t), repr(t)
+
+
 def test_simhash_close_for_neardups(spark, dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs, bits=32).collect()}
     def hamming(a, b):
