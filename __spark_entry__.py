@@ -810,6 +810,11 @@ SELECT t.doc_id,
   round(CASE WHEN coalesce(n_grams, 0) > 0 THEN n_hit::DOUBLE / n_grams ELSE 0 END, 6) AS contamination_frac,
   coalesce(n_hit, 0) > 0 AS contaminated
 FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    o["fts_fuzzy"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks "
+        "WHERE levenshtein(token, 'sort') <= 2 ORDER BY doc_id"
+    )
+    o["idx_fuzzy_term"] = o["fts_fuzzy"]
     o["curate_scrub_pii"] = r"""
 SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(text,
@@ -1011,6 +1016,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d).where(F.col("lang") == "fr").select("doc_id").orderBy("doc_id")
     )
     q["fts_bm25_topk"] = lambda s, d: fts.bm25_topk(_docs(s, d), BM25_Q, k=10)
+    # r5 fuzzy matching (engine extension): the SAME oracle row
+    # checks the direct scan AND the index path (vocabulary-expanded
+    # OR) — a three-way identity with the DuckDB levenshtein
+    # 'sort' at max_dist=2 expands to {sort, part} on this vocab, so
+    # the gate exercises a REAL multi-term expansion + posting union
+    q["fts_fuzzy"] = lambda s, d: fts.fuzzy_docs(_docs(s, d), "sort", max_dist=2)
+    q["idx_fuzzy_term"] = lambda s, d: _doc_index(s, d).fuzzy_docs(
+        "sort", max_dist=2
+    )
     q["fts_doc_len"] = lambda s, d: fts.doc_lengths(_docs(s, d)).orderBy("doc_id")
     q["idx_delete_stats"] = lambda s, d: (
         _deleted_index(s, d)

@@ -135,6 +135,30 @@ def prefix_docs(docs: DataFrame, prefix: str, field: str = "text") -> DataFrame:
     )
 
 
+def fuzzy_docs(
+    docs: DataFrame, term: str, max_dist: int = 1, field: str = "text"
+) -> DataFrame:
+    """Fuzzy term match (the Lucene FuzzyQuery analog — an engine
+    extension beyond the reference, which has exact/prefix only):
+    docs whose token array holds ANY token within Levenshtein
+    distance ``max_dist`` of ``term``.  Same row-local single-scan
+    shape as the other boolean ops (one ``exists`` predicate, no
+    exchange but the doc_id sort).
+
+    Oracle caveat: Spark's ``levenshtein`` counts UTF-16 characters
+    while DuckDB's counts BYTES — identical on ASCII tokens (the
+    gate fixture), divergent on multibyte text; the index path
+    (`SparkIndex.fuzzy_docs`) has no such caveat since both engines
+    never compare distances there."""
+    return _ids_where(
+        docs,
+        lambda toks: F.exists(
+            toks, lambda t: F.levenshtein(t, F.lit(term)) <= max_dist
+        ),
+        field,
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

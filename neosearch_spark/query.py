@@ -335,6 +335,47 @@ class SparkIndex:
         )
         return self._decode(b).select("doc_id").distinct().orderBy("doc_id")
 
+    def fuzzy_docs(
+        self,
+        term: str,
+        field: str = "text",
+        max_dist: int = 1,
+        max_terms: int = 1000,
+    ) -> DataFrame:
+        """Index-accelerated fuzzy term match (Lucene FuzzyQuery
+        analog; engine extension — the reference has exact/prefix
+        only): expand ``term`` against the tiny per-term vocabulary
+        table (length-pruned Levenshtein scan, no posting decode),
+        then union the matched terms' postings through the standard
+        bucket-pruned OR path — so the posting-side work is
+        identical to an ``or_docs`` over the expansion.
+
+        The driver receives only the matched term STRINGS, bounded
+        by ``max_terms`` (loud error past the cap, like the other
+        bounded collects): the expansion of one query term at
+        distance ≤1-2 is tens of terms on natural vocabularies, and
+        the terms-table scan is O(vocab) work done fully
+        distributed.  For ANALYZED fields the whole-string extra
+        terms are excluded (same rule as ``top_terms``: a token
+        never contains a space)."""
+        t = self.terms.where(F.col("field") == field)
+        if field in self.manifest["params"].get("analyzed_fields", []):
+            t = t.where(~F.col("term").contains(" "))
+        t = t.where(
+            F.abs(F.length("term") - F.lit(len(term))) <= max_dist
+        ).where(F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
+        rows = t.select("term").limit(max_terms + 1).collect()
+        if len(rows) > max_terms:
+            raise RuntimeError(
+                f"fuzzy expansion of {term!r} (max_dist={max_dist}) "
+                f"exceeds max_terms={max_terms}; raise max_terms or "
+                "lower max_dist"
+            )
+        matched = [r["term"] for r in rows]
+        if not matched:
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        return self.or_docs(matched, field)
+
     def top_terms(self, n: int = 20, field: str = "text") -> DataFrame:
         """Vocabulary introspection: the ``n`` highest-df terms of a
         field, (df desc, term asc) — served entirely from the tiny

@@ -88,6 +88,36 @@ def test_boolean_ops_match_set_algebra_oracle(spark, seed):
             assert got == want, (a, b, term, prefix, df)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzzy_docs_matches_levenshtein_oracle(spark, seed):
+    """fts.fuzzy_docs vs a pure-Python Levenshtein model on the same
+    edge-heavy random corpora (the VOCAB deliberately contains
+    distance-1/2 neighbors: x1/x2/zz, alpha vs ALPHA-lowered)."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(100 + seed)
+    rows = _mk_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {i: _toks(t) for i, t in rows}
+    for term, dist in [("x1", 1), ("alpha", 2), ("zz", 1), ("qq", 0)]:
+        got = [r["doc_id"]
+               for r in fts.fuzzy_docs(docs, term, max_dist=dist).collect()]
+        want = sorted(i for i, tk in model.items()
+                      if any(lev(t, term) <= dist for t in tk))
+        assert got == want, (term, dist)
+
+
 def test_bm25_empty_query_returns_empty_not_typeerror(spark):
     """analyze_query('  ') legitimately yields [] — bm25_scores/topk
     must build a valid empty plan (pre-r5 groupBy-shape parity), not

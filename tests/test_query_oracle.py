@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from neosearch_spark import fts
 from neosearch_spark.build import IndexBuilder
 from neosearch_spark.docids import assign_doc_ids
 from neosearch_spark.oracle import OracleIndex
@@ -43,6 +44,26 @@ def test_boolean_vs_oracle(corpus):
     assert [r["doc_id"] for r in si.or_docs(["neoway", "google"]).collect()] == oi.or_(["neoway", "google"])
     assert [r["doc_id"] for r in si.prefix_docs("tok10").collect()] == oi.prefix("tok10")
     assert [r["doc_id"] for r in si.not_docs(["tok1"], ["tok2"]).collect()] == oi.not_(["tok1"], ["tok2"])
+
+
+def test_fuzzy_docs_index_equals_direct_and_bounds(corpus):
+    """Index-path fuzzy match (vocabulary expansion + posting union)
+    ≡ the direct row-local scan on the same corpus; empty expansion
+    returns an empty frame with the doc_id schema; the max_terms cap
+    errors loudly instead of collecting an unbounded expansion."""
+    si, _, docs = corpus
+    for term, dist in [("tok1", 1), ("tok42", 1), ("neoway", 2)]:
+        got_idx = [r["doc_id"]
+                   for r in si.fuzzy_docs(term, max_dist=dist).collect()]
+        got_direct = [r["doc_id"]
+                      for r in fts.fuzzy_docs(docs, term, max_dist=dist).collect()]
+        assert got_idx == got_direct, (term, dist)
+        # fuzzy must be a superset of exact
+        exact = {r["doc_id"] for r in si.term_docs(term).collect()}
+        assert exact <= set(got_idx), (term, dist)
+    assert si.fuzzy_docs("zzqqxx", max_dist=1).count() == 0
+    with pytest.raises(RuntimeError, match="fuzzy expansion"):
+        si.fuzzy_docs("tok1", max_dist=2, max_terms=1)
 
 
 @pytest.mark.parametrize("mode", ["local", "distributed"])
