@@ -15,7 +15,10 @@ Usage:
 The query DSL mirrors the reference's search JSON
 (``service/neosearch/index/search.go:58-92``): ``{"$and": [...]}`` /
 ``{"$or": [...]}`` / bare ``{field: term}`` — with OR implementing
-the documented union semantics (divergence SURVEY §2.11.1).
+the documented union semantics (divergence SURVEY §2.11.1) — plus
+the engine extensions ``{field: {"$prefix": ...}}``, ``$not``,
+``$xor``, and ``{field: {"$fuzzy": term, "max_dist": N}}``
+(Levenshtein expansion over the vocabulary table).
 """
 
 from __future__ import annotations
@@ -103,13 +106,28 @@ def _eval_dsl(idx, dsl: dict):
                 f"$prefix value must be a string, got {type(prefix).__name__}"
             )
         return idx.prefix_docs(prefix, field=field)
+    if isinstance(term, dict) and "$fuzzy" in term:
+        # engine extension (no reference analog): Lucene-FuzzyQuery-
+        # style match — {"field": {"$fuzzy": "term", "max_dist": 1}}
+        fz = term["$fuzzy"]
+        if not isinstance(fz, str):
+            raise ValueError(
+                f"$fuzzy value must be a string, got {type(fz).__name__}"
+            )
+        md = term.get("max_dist", 1)
+        if isinstance(md, bool) or not isinstance(md, int) or md < 0:
+            raise ValueError(
+                f"$fuzzy max_dist must be a non-negative integer, got {md!r}"
+            )
+        return idx.fuzzy_docs(fz, field=field, max_dist=md)
     if isinstance(term, (list, dict)):
         # a typo'd operator ({"and": [...]} for {"$and": [...]})
         # lands here as field="and", term=<list> — stringifying it
         # would silently return 0 rows; fail loudly instead
         raise ValueError(
             f"field {field!r} has a non-scalar term {term!r} — operator "
-            "keys are $and/$or/$not/$xor, prefix is {'$prefix': ...}"
+            "keys are $and/$or/$not/$xor, prefix is {'$prefix': ...}, "
+            "fuzzy is {'$fuzzy': ..., 'max_dist': N}"
         )
     return idx.term_docs(str(term), field=field)
 
@@ -139,6 +157,9 @@ def validate_dsl(dsl: dict) -> None:
             return _Stub()
 
         def term_docs(self, term, field="text"):
+            return _Stub()
+
+        def fuzzy_docs(self, term, field="text", max_dist=1):
             return _Stub()
 
     _eval_dsl(_StubIdx(), dsl)

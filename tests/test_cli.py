@@ -381,6 +381,40 @@ def test_import_exact_fields_without_fields_flag(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in si.term_docs("alpha").collect()} == {1, 2}
 
 
+def test_query_dsl_fuzzy(spark, idx_dir, capsys):
+    """$fuzzy clause: routes through SparkIndex.fuzzy_docs (superset
+    of the exact term's docs), composes inside $and, validates shape
+    without an index (the pending-HTTP-index path), and rejects bad
+    value/max_dist types."""
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+    exact = {r["doc_id"] for r in idx.term_docs("tok1").collect()}
+
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl", '{"text": {"$fuzzy": "tok1", "max_dist": 1}}',
+         "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    got = {r["doc_id"] for r in out["results"]}
+    assert exact <= got
+    direct = {r["doc_id"]
+              for r in idx.fuzzy_docs("tok1", max_dist=1).collect()}
+    assert got == direct
+
+    # shape validation runs index-free (stub path)
+    cli.validate_dsl({"$and": [{"text": {"$fuzzy": "tok1"}},
+                               {"text": "tok2"}]})
+    with pytest.raises(ValueError, match="must be a string"):
+        cli.validate_dsl({"text": {"$fuzzy": 3}})
+    with pytest.raises(ValueError, match="max_dist"):
+        cli.validate_dsl({"text": {"$fuzzy": "tok1", "max_dist": True}})
+    with pytest.raises(ValueError, match="max_dist"):
+        cli.validate_dsl({"text": {"$fuzzy": "tok1", "max_dist": -1}})
+
+
 def test_eval_dsl_rejects_typod_operator_keys():
     """{"and": [...]} (missing the $) must raise, not silently treat
     "and" as a field whose term is the stringified clause list (which
