@@ -267,17 +267,19 @@ def scrub_pii(docs: DataFrame, field: str = "text") -> DataFrame:
     red = txt
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
-    return docs.select(
+    # two-stage projection: n_pii reads the already-computed count
+    # columns instead of re-running the three extract-alls (sibling
+    # aliases aren't referenceable within one select)
+    staged = docs.select(
         "doc_id",
         red.alias(field),
         counts["email"],
         counts["ipv4"],
         counts["phone"],
-        (
-            F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["email"]), F.lit(0)))
-            + F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["ipv4"]), F.lit(0)))
-            + F.size(F.regexp_extract_all(txt, F.lit(PII_PATTERNS["phone"]), F.lit(0)))
-        )
+    )
+    return staged.select(
+        "*",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
         .cast("long")
         .alias("n_pii"),
     )
