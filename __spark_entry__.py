@@ -810,6 +810,16 @@ SELECT t.doc_id,
   round(CASE WHEN coalesce(n_grams, 0) > 0 THEN n_hit::DOUBLE / n_grams ELSE 0 END, 6) AS contamination_frac,
   coalesce(n_hit, 0) > 0 AS contaminated
 FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+    o["fts_snippets"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, l,
+        least(nullif(list_position(l, 'vector'), 0),
+              nullif(list_position(l, 'join'), 0)) AS hp FROM t)
+SELECT doc_id, hp::BIGINT AS hit_pos,
+  CASE WHEN hp IS NOT NULL
+       THEN array_to_string(l[greatest(hp - 4, 1) : greatest(hp - 4, 1) + 7], ' ')
+  END AS snippet
+FROM p ORDER BY doc_id"""
     o["fts_fuzzy"] = (
         f"{TOKS} SELECT DISTINCT doc_id FROM toks "
         "WHERE levenshtein(token, 'sort') <= 2 ORDER BY doc_id"
@@ -1021,6 +1031,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OR) — a three-way identity with the DuckDB levenshtein
     # 'sort' at max_dist=2 expands to {sort, part} on this vocab, so
     # the gate exercises a REAL multi-term expansion + posting union
+    q["fts_snippets"] = lambda s, d: fts.snippets(
+        _docs(s, d), ["vector", "join"], width=8
+    ).orderBy("doc_id")
     q["fts_fuzzy"] = lambda s, d: fts.fuzzy_docs(_docs(s, d), "sort", max_dist=2)
     q["idx_fuzzy_term"] = lambda s, d: _doc_index(s, d).fuzzy_docs(
         "sort", max_dist=2

@@ -135,6 +135,48 @@ def prefix_docs(docs: DataFrame, prefix: str, field: str = "text") -> DataFrame:
     )
 
 
+def snippets(
+    docs: DataFrame,
+    query_terms: list[str],
+    field: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Search-result snippets (the Lucene highlighter analog; engine
+    extension — the reference returns whole documents only): for
+    each doc, a ``width``-token window starting just before the
+    FIRST occurrence of any query term in the non-empty token
+    stream.  Output: ``doc_id``, ``hit_pos`` (1-based token position
+    of the first hit, null when no term occurs), ``snippet`` (null
+    when no hit — presentation layers fall back to a document
+    prefix if they want one).
+
+    Row-local: per-term ``array_position`` + null-skipping
+    ``least`` + one ``slice`` — a zero-shuffle projection that
+    composes with any result set (serving layers join it onto the
+    top-k ids).  Both Spark and DuckDB give 1-based positions with
+    0-if-absent and null-skipping ``least``, so the gate compares
+    values exactly."""
+    if not query_terms:
+        raise ValueError("snippets needs at least one query term")
+    toks = F.filter(tokens_col(F.col(field)), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("_toks"))
+    positions = [
+        F.nullif(F.array_position(F.col("_toks"), t), F.lit(0))
+        for t in query_terms
+    ]
+    first = positions[0] if len(positions) == 1 else F.least(*positions)
+    start = F.greatest(first - F.lit(width // 2), F.lit(1))
+    snip = F.when(
+        first.isNotNull(),
+        F.concat_ws(" ", F.slice(F.col("_toks"), start, width)),
+    )
+    return base.select(
+        "doc_id",
+        first.cast("long").alias("hit_pos"),
+        snip.alias("snippet"),
+    )
+
+
 def fuzzy_docs(
     docs: DataFrame, term: str, max_dist: int = 1, field: str = "text"
 ) -> DataFrame:

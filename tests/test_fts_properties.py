@@ -88,6 +88,33 @@ def test_boolean_ops_match_set_algebra_oracle(spark, seed):
             assert got == want, (a, b, term, prefix, df)
 
 
+def test_snippets_golden(spark):
+    """Window clamping at both ends, earliest-term-wins on
+    multi-term queries, null text and no-hit docs kept with null
+    snippet, empty-terms rejection."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha b c d e f g h i j k"),   # hit at pos 1: clamp left
+            (1, "a b c d e f g h i j alpha"),   # hit at end: short window
+            (2, "x y z"),                        # no hit
+            (3, None),                           # null text
+            (4, "a beta c d alpha f"),           # beta (pos 2) before alpha
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in fts.snippets(docs, ["alpha", "beta"], width=4).collect()}
+    assert len(rows) == 5
+    assert (rows[0]["hit_pos"], rows[0]["snippet"]) == (1, "alpha b c d")
+    # hit at 11, start = max(11-2, 1) = 9 -> tokens 9..11 only
+    assert (rows[1]["hit_pos"], rows[1]["snippet"]) == (11, "i j alpha")
+    assert (rows[2]["hit_pos"], rows[2]["snippet"]) == (None, None)
+    assert (rows[3]["hit_pos"], rows[3]["snippet"]) == (None, None)
+    assert (rows[4]["hit_pos"], rows[4]["snippet"]) == (2, "a beta c d")
+    with pytest.raises(ValueError, match="at least one"):
+        fts.snippets(docs, [])
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzzy_docs_matches_levenshtein_oracle(spark, seed):
     """fts.fuzzy_docs vs a pure-Python Levenshtein model on the same
