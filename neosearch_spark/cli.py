@@ -324,6 +324,10 @@ def validate_search_request(
     field = req.get("field")
     if field is not None and (not isinstance(field, str) or not field):
         raise ValueError('"field" must be a non-empty string')
+    if not isinstance(req.get("snippets", False), bool):
+        # validated HERE (not in handle_search_request) so the HTTP
+        # pending-index fast path 400s the same way a live index does
+        raise ValueError('"snippets" must be a boolean')
     return queries, int(req.get("k", default_k)), field
 
 
@@ -338,6 +342,7 @@ def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
     return empty results for every query).  Raises on malformed
     requests — the caller owns the error frame."""
     queries, k, field = validate_search_request(req, default_k)
+    want_snippets = req.get("snippets", False)
     if field is None:
         field = getattr(idx, "primary_field", "text")
     if len(queries) == 1:
@@ -345,10 +350,10 @@ def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
             {"doc_id": r["doc_id"], "score": r["score"]}
             for r in idx.bm25_topk(queries[0], k=k, field=field).collect()
         ]
-        return {"batch": [{"query": queries[0], "results": rows}]}
-    rows = idx.bm25_topk_batch(queries, k=k, field=field).collect()
-    return {
-        "batch": [
+        batch = [{"query": queries[0], "results": rows}]
+    else:
+        rows = idx.bm25_topk_batch(queries, k=k, field=field).collect()
+        batch = [
             {
                 "query": queries[qi],
                 "results": [
@@ -359,7 +364,44 @@ def handle_search_request(idx, req: dict, default_k: int = 10) -> dict:
             }
             for qi in range(len(queries))
         ]
-    }
+    if want_snippets:
+        _attach_snippets(idx, batch, field)
+    return {"batch": batch}
+
+
+def _attach_snippets(idx, batch: list, field: str) -> None:
+    """Opt-in result highlighting (``"snippets": true`` in the search
+    request): per query, one tiny extra job over the ≤k result docs —
+    ``get_docs`` broadcast-materializes them and ``fts.snippets``
+    windows the first query-term hit.  O(k) rows per query; the
+    scoring path and the memoized result rows are untouched, so the
+    flag composes with the result cache."""
+    from pyspark.sql import functions as F
+
+    from . import fts
+    from .analyzer import analyze_query
+
+    for entry in batch:
+        ids = [r["doc_id"] for r in entry["results"]]
+        terms = analyze_query(entry["query"])
+        if not ids or not terms:
+            for r in entry["results"]:
+                r["hit_pos"] = None
+                r["snippet"] = None
+            continue
+        ids_df = idx.spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        srows = {
+            r["doc_id"]: r
+            for r in fts.snippets(
+                idx.get_docs(ids_df).select("doc_id", F.col(field).cast("string")),
+                terms,
+                field=field,
+            ).collect()
+        }
+        for r in entry["results"]:
+            sr = srows.get(r["doc_id"])
+            r["hit_pos"] = sr["hit_pos"] if sr else None
+            r["snippet"] = sr["snippet"] if sr else None
 
 
 def serve_loop(idx, lines, out, default_k: int = 10) -> int:

@@ -415,6 +415,38 @@ def test_query_dsl_fuzzy(spark, idx_dir, capsys):
         cli.validate_dsl({"text": {"$fuzzy": "tok1", "max_dist": -1}})
 
 
+def test_search_request_snippets_flag(spark, idx_dir):
+    """\"snippets\": true attaches (hit_pos, snippet) to every result
+    on both the single-query and batch paths; each snippet contains a
+    query term; the flag validates state-independently (bad type
+    raises in validate_search_request, the pending-index path)."""
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+    resp = cli.handle_search_request(
+        idx, {"queries": ["tok1 tok2"], "k": 3, "snippets": True}
+    )
+    results = resp["batch"][0]["results"]
+    assert results
+    for r in results:
+        assert r["snippet"] is not None and r["hit_pos"] >= 1
+        assert any(t in r["snippet"].split(" ") for t in ("tok1", "tok2"))
+
+    resp2 = cli.handle_search_request(
+        idx, {"queries": ["tok1", "tok3"], "k": 2, "snippets": True}
+    )
+    for b in resp2["batch"]:
+        for r in b["results"]:
+            assert "snippet" in r and "hit_pos" in r
+
+    # without the flag the response shape is unchanged
+    resp3 = cli.handle_search_request(idx, {"queries": ["tok1"], "k": 1})
+    assert "snippet" not in resp3["batch"][0]["results"][0]
+
+    with pytest.raises(ValueError, match="snippets"):
+        cli.validate_search_request({"queries": ["x"], "snippets": "yes"})
+
+
 def test_eval_dsl_rejects_typod_operator_keys():
     """{"and": [...]} (missing the $) must raise, not silently treat
     "and" as a field whose term is the stringified clause list (which
