@@ -825,6 +825,30 @@ FROM p ORDER BY doc_id"""
         "WHERE levenshtein(token, 'sort') <= 2 ORDER BY doc_id"
     )
     o["idx_fuzzy_term"] = o["fts_fuzzy"]
+    # r5 phrase match: the analyzer's single-space split makes token
+    # adjacency (empties included) a space-bounded substring test on
+    # the normalized text — the SAME expression both engines run
+    o["fts_phrase"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE position(' vector join ' IN ' ' || lower(trim(text)) || ' ') > 0 "
+        "ORDER BY doc_id"
+    )
+    o["idx_phrase"] = o["fts_phrase"]
+    # r5 wildcard: 's_a%' (glob 's?a*') expands to {scan, small,
+    # spark} on this vocabulary — a real multi-term union
+    o["fts_wildcard"] = (
+        f"{TOKS} SELECT DISTINCT doc_id FROM toks "
+        "WHERE token LIKE 's_a%' ORDER BY doc_id"
+    )
+    o["idx_wildcard_term"] = o["fts_wildcard"]
+    # r5 facet counts: docs matching ANY of the query terms, counted
+    # per language (ordering irrelevant — the gate compares sorted
+    # value multisets)
+    o["fts_facets"] = f"""{TOKS}
+SELECT lang AS facet, count(*)::BIGINT AS n_docs FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE token IN ('vector','join'))
+GROUP BY lang ORDER BY n_docs DESC, facet"""
+    o["idx_facets"] = o["fts_facets"]
     o["curate_scrub_pii"] = r"""
 SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(text,
@@ -1037,6 +1061,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_fuzzy"] = lambda s, d: fts.fuzzy_docs(_docs(s, d), "sort", max_dist=2)
     q["idx_fuzzy_term"] = lambda s, d: _doc_index(s, d).fuzzy_docs(
         "sort", max_dist=2
+    )
+    # r5 phrase / wildcard / facets (engine extensions): each oracle
+    # row checks the direct scan AND the index path — three-way
+    # identities with the DuckDB expression
+    q["fts_phrase"] = lambda s, d: fts.phrase_docs(_docs(s, d), "vector join")
+    q["idx_phrase"] = lambda s, d: _doc_index(s, d).phrase_docs("vector join")
+    q["fts_wildcard"] = lambda s, d: fts.wildcard_docs(_docs(s, d), "s?a*")
+    q["idx_wildcard_term"] = lambda s, d: _doc_index(s, d).wildcard_docs("s?a*")
+    q["fts_facets"] = lambda s, d: fts.facet_counts(
+        _docs(s, d), ["vector", "join"], "lang"
+    )
+    q["idx_facets"] = lambda s, d: _doc_index(s, d).facet_counts(
+        ["vector", "join"], "lang"
     )
     q["fts_doc_len"] = lambda s, d: fts.doc_lengths(_docs(s, d)).orderBy("doc_id")
     q["idx_delete_stats"] = lambda s, d: (

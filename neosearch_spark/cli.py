@@ -17,8 +17,12 @@ The query DSL mirrors the reference's search JSON
 ``{"$or": [...]}`` / bare ``{field: term}`` — with OR implementing
 the documented union semantics (divergence SURVEY §2.11.1) — plus
 the engine extensions ``{field: {"$prefix": ...}}``, ``$not``,
-``$xor``, and ``{field: {"$fuzzy": term, "max_dist": N}}``
-(Levenshtein expansion over the vocabulary table).
+``$xor``, ``{field: {"$fuzzy": term, "max_dist": N}}``
+(Levenshtein expansion over the vocabulary table),
+``{field: {"$wildcard": "pat*ern"}}`` (glob expansion over the
+vocabulary table), and ``{field: {"$phrase": "two words"}}``
+(posting-intersection pre-filter + positions-free adjacency
+confirm on the stored text).
 """
 
 from __future__ import annotations
@@ -120,6 +124,26 @@ def _eval_dsl(idx, dsl: dict):
                 f"$fuzzy max_dist must be a non-negative integer, got {md!r}"
             )
         return idx.fuzzy_docs(fz, field=field, max_dist=md)
+    if isinstance(term, dict) and "$wildcard" in term:
+        # engine extension: Lucene-WildcardQuery-style match —
+        # {"field": {"$wildcard": "pat*ern"}} (* = any run, ? = one char)
+        wc = term["$wildcard"]
+        if not isinstance(wc, str):
+            raise ValueError(
+                f"$wildcard value must be a string, got {type(wc).__name__}"
+            )
+        return idx.wildcard_docs(wc, field=field)
+    if isinstance(term, dict) and "$phrase" in term:
+        # engine extension: exact-phrase match inside a value —
+        # {"field": {"$phrase": "two words"}}; the reference's
+        # whole-value extra term only matches the ENTIRE value
+        ph = term["$phrase"]
+        if not isinstance(ph, str) or ph.strip(" ") == "":
+            raise ValueError(
+                '$phrase value must be a non-empty string, got '
+                f"{ph if isinstance(ph, str) else type(ph).__name__!r}"
+            )
+        return idx.phrase_docs(ph, field=field)
     if isinstance(term, (list, dict)):
         # a typo'd operator ({"and": [...]} for {"$and": [...]})
         # lands here as field="and", term=<list> — stringifying it
@@ -127,7 +151,8 @@ def _eval_dsl(idx, dsl: dict):
         raise ValueError(
             f"field {field!r} has a non-scalar term {term!r} — operator "
             "keys are $and/$or/$not/$xor, prefix is {'$prefix': ...}, "
-            "fuzzy is {'$fuzzy': ..., 'max_dist': N}"
+            "fuzzy is {'$fuzzy': ..., 'max_dist': N}, wildcard is "
+            "{'$wildcard': ...}, phrase is {'$phrase': ...}"
         )
     return idx.term_docs(str(term), field=field)
 
@@ -160,6 +185,12 @@ def validate_dsl(dsl: dict) -> None:
             return _Stub()
 
         def fuzzy_docs(self, term, field="text", max_dist=1):
+            return _Stub()
+
+        def wildcard_docs(self, pattern, field="text"):
+            return _Stub()
+
+        def phrase_docs(self, phrase, field="text"):
             return _Stub()
 
     _eval_dsl(_StubIdx(), dsl)

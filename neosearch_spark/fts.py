@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .analyzer import doc_len_col, tokens_col
+from .analyzer import doc_len_col, norm_col, tokens_col
 
 K1 = 1.2
 B = 0.75
@@ -198,6 +198,106 @@ def fuzzy_docs(
             toks, lambda t: F.levenshtein(t, F.lit(term)) <= max_dist
         ),
         field,
+    )
+
+
+def phrase_docs(docs: DataFrame, phrase: str, field: str = "text") -> DataFrame:
+    """Exact-phrase match (engine extension — the reference indexes a
+    whole-value extra term, ``index.go:546-553``, but cannot match a
+    phrase INSIDE a longer value): docs whose analyzed token stream
+    contains the phrase's tokens consecutively.
+
+    Positions-free by construction: the analyzer splits the
+    normalized string on single spaces keeping empties
+    (``analyzer.py``), so token-level adjacency — INCLUDING empty
+    tokens from multi-space runs — is exactly a space-bounded
+    substring test on the normalized text.  One codegen'd predicate
+    (``contains`` over ``' '+lower(trim(text))+' '``), no token
+    array, no explode, no Python: the cheapest possible phrase scan,
+    and the same expression DuckDB evaluates for the oracle gate.
+
+    A phrase with internal double spaces therefore matches only docs
+    with the same empty-token run — reference-analyzer parity, not a
+    normalization bug."""
+    norm = phrase.strip(" ").lower()
+    if norm == "":
+        raise ValueError("phrase_docs needs a non-empty phrase")
+    padded = F.concat(F.lit(" "), norm_col(F.col(field)), F.lit(" "))
+    return (
+        docs.where(padded.contains(" " + norm + " "))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Glob wildcard → SQL LIKE pattern: ``*`` → ``%``, ``?`` → ``_``,
+    with LIKE metacharacters (``%``, ``_``, ``\\``) in the input
+    escaped by backslash — the default escape character in BOTH
+    Spark SQL and DuckDB, so one translated pattern serves the
+    engine and the oracle."""
+    out = []
+    for ch in pattern:
+        if ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_match(token: str, pattern: str) -> bool:
+    """Pure-Python twin of the wildcard semantics (``*`` = any run,
+    ``?`` = exactly one char, everything else literal — no char
+    classes, unlike fnmatch) used by the property tests."""
+    import re
+
+    rx = "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern
+    )
+    return re.fullmatch(rx, token) is not None
+
+
+def wildcard_docs(
+    docs: DataFrame, pattern: str, field: str = "text"
+) -> DataFrame:
+    """Wildcard term match (the Lucene WildcardQuery analog; engine
+    extension): docs whose token array holds ANY token matching the
+    glob ``pattern`` (``*`` = any run, ``?`` = one char).  Same
+    row-local single-scan shape as the other boolean ops.  The
+    pattern is matched against ANALYZED tokens, so it should be
+    lowercase."""
+    like = wildcard_to_like(pattern)
+    return _ids_where(
+        docs, lambda toks: F.exists(toks, lambda t: t.like(like)), field
+    )
+
+
+def facet_counts(
+    docs: DataFrame,
+    query_terms: list[str],
+    facet_field: str,
+    field: str = "text",
+) -> DataFrame:
+    """Facet counts (search-engine term aggregation; engine
+    extension): among docs matching ANY query term (the documented-
+    union OR), the number of docs per distinct value of
+    ``facet_field``.  Output ``(facet, n_docs)``, count desc then
+    facet asc; a null facet value is its own group (both engines
+    keep null groups).
+
+    One scan + one partial-aggregated groupBy on the (low-
+    cardinality) facet value — the shuffle moves #distinct-facets
+    rows per partition, not matched docs."""
+    toks = tokens_col(F.col(field))
+    return (
+        docs.where(_match_any(toks, query_terms))
+        .groupBy(F.col(facet_field).cast("string").alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("facet"))
     )
 
 

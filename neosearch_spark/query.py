@@ -358,23 +358,120 @@ class SparkIndex:
         distributed.  For ANALYZED fields the whole-string extra
         terms are excluded (same rule as ``top_terms``: a token
         never contains a space)."""
-        t = self.terms.where(F.col("field") == field)
-        if field in self.manifest["params"].get("analyzed_fields", []):
-            t = t.where(~F.col("term").contains(" "))
-        t = t.where(
+        cond = (
             F.abs(F.length("term") - F.lit(len(term))) <= max_dist
-        ).where(F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
-        rows = t.select("term").limit(max_terms + 1).collect()
-        if len(rows) > max_terms:
-            raise RuntimeError(
-                f"fuzzy expansion of {term!r} (max_dist={max_dist}) "
-                f"exceeds max_terms={max_terms}; raise max_terms or "
-                "lower max_dist"
-            )
-        matched = [r["term"] for r in rows]
+        ) & (F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
+        matched = self._expand_vocab(
+            cond, field, max_terms, f"fuzzy expansion of {term!r} (max_dist={max_dist})"
+        )
         if not matched:
             return self.spark.range(0).select(F.col("id").alias("doc_id"))
         return self.or_docs(matched, field)
+
+    def _expand_vocab(
+        self, cond, field: str, max_terms: int, what: str
+    ) -> list[str]:
+        """Shared vocabulary-expansion step for fuzzy/wildcard: scan
+        the tiny per-term table for terms matching ``cond``, bounded
+        by ``max_terms`` (loud error past the cap, like the other
+        bounded collects).  The driver receives only term STRINGS;
+        the O(vocab) scan runs fully distributed.  For ANALYZED
+        fields the whole-string extra terms are excluded (same rule
+        as ``top_terms``: a token never contains a space)."""
+        t = self.terms.where(F.col("field") == field)
+        if field in self.manifest["params"].get("analyzed_fields", []):
+            t = t.where(~F.col("term").contains(" "))
+        rows = t.where(cond).select("term").limit(max_terms + 1).collect()
+        if len(rows) > max_terms:
+            raise RuntimeError(
+                f"{what} exceeds max_terms={max_terms}; raise max_terms "
+                "or narrow the match"
+            )
+        return [r["term"] for r in rows]
+
+    def wildcard_docs(
+        self,
+        pattern: str,
+        field: str = "text",
+        max_terms: int = 1000,
+    ) -> DataFrame:
+        """Index-accelerated wildcard term match (Lucene
+        WildcardQuery analog; engine extension): expand the glob
+        ``pattern`` (``*`` = any run, ``?`` = one char) against the
+        per-term vocabulary table with a translated LIKE predicate,
+        then union the matched terms' postings through the standard
+        bucket-pruned OR path — identical posting-side work to an
+        ``or_docs`` over the expansion, same bounded-collect contract
+        as ``fuzzy_docs``.  Patterns match ANALYZED (lowercase)
+        terms."""
+        from .fts import wildcard_to_like
+
+        like = wildcard_to_like(pattern)
+        matched = self._expand_vocab(
+            F.col("term").like(like), field, max_terms,
+            f"wildcard expansion of {pattern!r}",
+        )
+        if not matched:
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        return self.or_docs(matched, field)
+
+    def phrase_docs(self, phrase: str, field: str = "text") -> DataFrame:
+        """Index-accelerated exact-phrase match (engine extension —
+        the reference's whole-value extra term, ``index.go:546-553``,
+        only matches a phrase that IS the entire value): intersect
+        the phrase terms' postings (the cheap, fully-indexed AND
+        pre-filter), then confirm token adjacency on the candidates'
+        stored text with the same space-bounded substring predicate
+        as :func:`fts.phrase_docs` — positions-free, since the
+        analyzer's single-space split makes adjacency a substring
+        test on the normalized string.
+
+        The confirm join streams candidates against the doc store
+        (no driver collect, no broadcast of the candidate side —
+        phrase terms can be hot); only docs holding ALL phrase
+        tokens are re-read, so the text scan touches the AND
+        selectivity, not the corpus.  Like ``get_docs``, the confirm
+        reads the doc store: docs ingested through the streaming
+        delta path (postings but no doc-store row yet) are not
+        visible until compaction folds them in."""
+        norm = phrase.strip(" ").lower()
+        if norm == "":
+            raise ValueError("phrase_docs needs a non-empty phrase")
+        toks = [t for t in norm.split(" ") if t != ""]
+        if not toks:
+            raise ValueError("phrase_docs needs at least one non-empty token")
+        if len(norm.split(" ")) == 1:
+            return self.term_docs(toks[0], field)
+        cand = self.and_docs(list(dict.fromkeys(toks)), field)
+        padded = F.concat(
+            F.lit(" "), F.lower(F.trim(F.col(field).cast("string"))), F.lit(" ")
+        )
+        return (
+            self.docs.join(cand, "doc_id")
+            .where(padded.contains(" " + norm + " "))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    def facet_counts(
+        self, query_terms: list[str], facet_field: str, field: str = "text"
+    ) -> DataFrame:
+        """Facet counts over a term match (engine extension): among
+        docs holding ANY query term, docs per distinct value of the
+        doc store's ``facet_field`` — ``(facet, n_docs)``, count desc
+        then facet asc, null facets their own group.  The posting
+        union is the indexed OR path; the facet read joins matched
+        ids against the doc store (no broadcast — the match can be
+        hot) and aggregates on the low-cardinality facet value, so
+        the shuffle carries #facets rows per partition.  Same
+        doc-store visibility note as ``phrase_docs``."""
+        matched = self.or_docs(query_terms, field)
+        return (
+            self.docs.join(matched, "doc_id")
+            .groupBy(F.col(facet_field).cast("string").alias("facet"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("facet"))
+        )
 
     def top_terms(self, n: int = 20, field: str = "text") -> DataFrame:
         """Vocabulary introspection: the ``n`` highest-df terms of a

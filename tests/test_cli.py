@@ -586,3 +586,44 @@ def test_search_defaults_to_index_primary_field(spark, tmp_path, capsys):
     assert rc == 0
     plan = json.loads(capsys.readouterr().out)
     assert plan["dry_run"] is True and "company_name" in json.dumps(plan)
+
+
+def test_query_dsl_wildcard_and_phrase(spark, idx_dir, capsys):
+    """$wildcard routes through SparkIndex.wildcard_docs (≡ direct
+    scan), $phrase through SparkIndex.phrase_docs; both compose
+    inside $and, validate index-free, and reject bad value types."""
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl", '{"text": {"$wildcard": "tok1?"}}', "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    got = {r["doc_id"] for r in out["results"]}
+    assert got == {r["doc_id"]
+                   for r in idx.wildcard_docs("tok1?").collect()}
+
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl", '{"text": {"$phrase": "neoway business solution"}}',
+         "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    got = {r["doc_id"] for r in out["results"]}
+    assert got
+    assert got == {r["doc_id"]
+                   for r in idx.phrase_docs("neoway business solution").collect()}
+
+    # shape validation runs index-free (the HTTP pending-index path)
+    cli.validate_dsl({"$and": [{"text": {"$wildcard": "tok*"}},
+                               {"text": {"$phrase": "a b"}}]})
+    with pytest.raises(ValueError, match=r"\$wildcard value"):
+        cli.validate_dsl({"text": {"$wildcard": 3}})
+    with pytest.raises(ValueError, match=r"\$phrase value"):
+        cli.validate_dsl({"text": {"$phrase": ""}})
+    with pytest.raises(ValueError, match=r"\$phrase value"):
+        cli.validate_dsl({"text": {"$phrase": ["a"]}})

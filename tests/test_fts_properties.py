@@ -156,3 +156,106 @@ def test_bm25_empty_query_returns_empty_not_typeerror(spark):
         assert df.count() == 0
     # duplicate-only lists reduce to one unique term, still valid
     assert fts.bm25_topk(docs, ["beta", "beta"], 5).count() == 2
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_phrase_docs_matches_sublist_oracle(spark, seed):
+    """fts.phrase_docs vs an INDEPENDENT pure-Python model: the
+    phrase's token list (split on single space, empties KEPT) is a
+    contiguous sublist of the doc's ordered token list.  The random
+    corpora contain multi-space runs, so adjacency-across-empties is
+    exercised both ways; sampled in-doc windows guarantee hits."""
+
+    def tok_list(text):
+        return None if text is None else text.strip(" ").lower().split(" ")
+
+    def sublist(hay, needle):
+        n = len(needle)
+        return any(hay[i:i + n] == needle for i in range(len(hay) - n + 1))
+
+    rng = random.Random(200 + seed)
+    rows = _mk_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {i: tok_list(t) for i, t in rows}
+
+    phrases = []
+    # sampled windows from real docs (guaranteed hits, incl. empties)
+    for _ in range(6):
+        cands = [tl for tl in model.values() if tl and len(tl) >= 2]
+        tl = rng.choice(cands)
+        i = rng.randrange(len(tl) - 1)
+        w = tl[i:i + rng.choice([2, 2, 3])]
+        if any(t != "" for t in w):
+            phrases.append(" ".join(w))
+    # random pairs (mostly misses) + case normalization
+    for _ in range(4):
+        phrases.append(f"{rng.choice(VOCAB)} {rng.choice(VOCAB)}".upper())
+
+    for ph in phrases:
+        want_toks = ph.strip(" ").lower().split(" ")
+        got = [r["doc_id"] for r in fts.phrase_docs(docs, ph).collect()]
+        want = sorted(i for i, tl in model.items()
+                      if tl is not None and sublist(tl, want_toks))
+        assert got == want, ph
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_wildcard_docs_matches_glob_oracle(spark, seed):
+    """fts.wildcard_docs vs the pure-Python glob model
+    (fts.wildcard_match): * = any run, ? = exactly one char, LIKE
+    metacharacters in the pattern are literals."""
+    rng = random.Random(300 + seed)
+    rows = _mk_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {i: _toks(t) for i, t in rows}
+    for pat in ["al*", "x?", "*a", "?", "-", "z*z", "*", "q*"]:
+        got = [r["doc_id"]
+               for r in fts.wildcard_docs(docs, pat).collect()]
+        want = sorted(i for i, tk in model.items()
+                      if any(fts.wildcard_match(t, pat) for t in tk))
+        assert got == want, pat
+
+
+def test_wildcard_like_metacharacters_are_literal(spark):
+    """Tokens containing %, _ and \\ must only match themselves
+    literally; ? still matches any single char in their place."""
+    docs = spark.createDataFrame(
+        [(0, "a%b"), (1, "a_b"), (2, "axb"), (3, "a\\b")],
+        "doc_id long, text string",
+    )
+    ids = lambda pat: [r["doc_id"]
+                       for r in fts.wildcard_docs(docs, pat).collect()]
+    assert ids("a%b") == [0]     # % literal, not any-run
+    assert ids("a_b") == [1]     # _ literal, not one-char
+    assert ids("a\\b") == [3]    # backslash literal
+    assert ids("a?b") == [0, 1, 2, 3]
+    assert ids("a*b") == [0, 1, 2, 3]
+    # the pure-Python twin agrees
+    assert fts.wildcard_match("a%b", "a%b") and not fts.wildcard_match("axb", "a%b")
+    assert fts.wildcard_match("a_b", "a_b") and not fts.wildcard_match("axb", "a_b")
+    assert fts.wildcard_match("a\\b", "a\\b") and not fts.wildcard_match("axb", "a\\b")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_facet_counts_matches_counter_oracle(spark, seed):
+    """fts.facet_counts vs a pure-Python Counter over the any-term
+    match, including a null facet group and the (count desc, facet
+    asc) output order."""
+    from collections import Counter
+
+    rng = random.Random(400 + seed)
+    rows = []
+    for i, (doc_id, text) in enumerate(_mk_corpus(rng, 60)):
+        facet = rng.choice(["en", "fr", "de", None])
+        rows.append((doc_id, text, facet))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = {i: _toks(t) for i, t, _ in rows}
+    facet_of = {i: f for i, _, f in rows}
+    for _ in range(3):
+        terms = _terms(rng)
+        got = [(r["facet"], r["n_docs"])
+               for r in fts.facet_counts(docs, terms, "lang").collect()]
+        c = Counter(facet_of[i] for i, tk in model.items() if _any(tk, terms))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0] is None, kv[0]))
+        # null ordering differs by engine convention; compare as multisets
+        assert sorted(got, key=str) == sorted(want, key=str), terms

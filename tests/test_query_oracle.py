@@ -66,6 +66,75 @@ def test_fuzzy_docs_index_equals_direct_and_bounds(corpus):
         si.fuzzy_docs("tok1", max_dist=2, max_terms=1)
 
 
+def test_phrase_docs_index_equals_direct(corpus):
+    """Index-path phrase match (AND pre-filter + stored-text
+    adjacency confirm) ≡ the direct normalized-substring scan, on
+    phrases covering: whole-value, inside-value, wrong-order (AND
+    hits, phrase must not), mixed case, multi-space runs (adjacency
+    includes empty tokens), punctuation tokens, and single-token."""
+    si, _, docs = corpus
+    phrases = [
+        "neoway business solution",  # whole value (edge text)
+        "business solution",         # inside a longer value
+        "solution business",         # AND matches, adjacency must not
+        "Neoway BUSINESS",           # query-side normalization
+        "spaced   out",              # multi-space run must align
+        "spaced out",                # single space ≠ the 3-space run
+        "- token",                   # punctuation-only token
+        "tok1 tok2",                 # random pair on the zipf tail
+        "singletoken",               # single-token fast path
+    ]
+    for ph in phrases:
+        got_idx = [r["doc_id"] for r in si.phrase_docs(ph).collect()]
+        got_dir = [r["doc_id"] for r in fts.phrase_docs(docs, ph).collect()]
+        assert got_idx == got_dir, ph
+        # phrase ⊆ AND of its non-empty tokens
+        toks = [t for t in ph.strip(" ").lower().split(" ") if t]
+        and_ids = {r["doc_id"] for r in si.and_docs(toks).collect()}
+        assert set(got_idx) <= and_ids, ph
+    # the fixture guarantees real hits for the core cases
+    assert si.phrase_docs("business solution").count() > 0
+    assert si.phrase_docs("spaced   out").count() > 0
+    # wrong order: strictly fewer than the AND candidate set
+    assert si.phrase_docs("solution business").count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        si.phrase_docs("   ")
+    with pytest.raises(ValueError, match="non-empty"):
+        fts.phrase_docs(docs, " ")
+
+
+def test_wildcard_docs_index_equals_direct_and_bounds(corpus):
+    """Index-path wildcard match (LIKE vocabulary expansion +
+    posting union) ≡ the direct row-local scan; empty expansion is
+    empty with the doc_id schema; the cap errors loudly."""
+    si, _, docs = corpus
+    for pat in ["tok1?", "neo*", "*tion", "to*7", "?", "zzqq*"]:
+        got_idx = [r["doc_id"] for r in si.wildcard_docs(pat).collect()]
+        got_dir = [r["doc_id"] for r in fts.wildcard_docs(docs, pat).collect()]
+        assert got_idx == got_dir, pat
+    # prefix wildcard ≡ prefix_docs (same semantics, two paths)
+    assert [r["doc_id"] for r in si.wildcard_docs("tok10*").collect()] == [
+        r["doc_id"] for r in si.prefix_docs("tok10").collect()
+    ]
+    assert si.wildcard_docs("zzqq*").count() == 0
+    with pytest.raises(RuntimeError, match="wildcard expansion"):
+        si.wildcard_docs("tok*", max_terms=1)
+
+
+def test_facet_counts_index_equals_direct(corpus):
+    """Index-path facet counts (posting OR + doc-store join + facet
+    groupBy) ≡ the direct scan, and totals ≡ the matched-doc count."""
+    si, _, docs = corpus
+    for terms in [["tok1", "tok2"], ["neoway"], ["missingterm"]]:
+        got_idx = [(r["facet"], r["n_docs"])
+                   for r in si.facet_counts(terms, "role").collect()]
+        got_dir = [(r["facet"], r["n_docs"])
+                   for r in fts.facet_counts(docs, terms, "role").collect()]
+        assert got_idx == got_dir, terms
+        total = sum(n for _, n in got_idx)
+        assert total == si.or_docs(terms).count(), terms
+
+
 @pytest.mark.parametrize("mode", ["local", "distributed"])
 @pytest.mark.parametrize("q", QUERIES)
 def test_bm25_rank_identity(corpus, q, mode):
