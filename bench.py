@@ -46,6 +46,12 @@ HEADLINE = [
     "text_repetition",
     "curate_contamination",
     "curate_scrub_pii",
+    # r5 search extensions (extra gates): phrase = one codegen'd
+    # contains scan, wildcard = row-local LIKE exists, facets =
+    # partial-agg groupBy on the facet value
+    "fts_phrase",
+    "fts_wildcard",
+    "fts_facets",
 ]
 
 BM25_BENCH_QUERIES = [

@@ -700,3 +700,25 @@ def test_randomized_op_sequence_server_stays_consistent(spark, tmp_path):
                     assert r == {"error": f"Index '{name}' doesn't exists."}
     finally:
         srv.shutdown()
+
+
+def test_dsl_phrase_wildcard_over_http(http_srv):
+    """The r5 $phrase / $wildcard clauses are live on the HTTP
+    transport (it routes through the same _eval_dsl), and malformed
+    values 400 with a JSON error while the process stays up."""
+    srv, base = http_srv
+    out = _req(base + "/warmidx", "POST",
+               {"query": {"text": {"$phrase": "neoway business solution"}},
+                "limit": 5})
+    assert out["total"] > 0
+    assert all("Neoway Business Solution" == r["text"] for r in out["results"])
+    out = _req(base + "/warmidx", "POST",
+               {"query": {"text": {"$wildcard": "tok1?"}}, "limit": 3})
+    assert out["total"] > 0 and len(out["results"]) == 3
+    assert "$wildcard value" in _req(
+        base + "/warmidx", "POST", {"query": {"text": {"$wildcard": 3}}}
+    )["error"]
+    assert "$phrase value" in _req(
+        base + "/warmidx", "POST", {"query": {"text": {"$phrase": "  "}}}
+    )["error"]
+    assert _req(base + "/")["status"] == "alive"
