@@ -841,6 +841,15 @@ FROM p ORDER BY doc_id"""
         "WHERE token LIKE 's_a%' ORDER BY doc_id"
     )
     o["idx_wildcard_term"] = o["fts_wildcard"]
+    # r5 proximity (NEAR): positions in the NON-EMPTY token stream
+    # (1-based), same stream snippets reports hit_pos in
+    o["fts_near"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS l FROM documents),
+pa AS (SELECT doc_id, unnest(list_filter(range(1, len(l)+1), i -> l[i] = 'vector')) AS p FROM t),
+pb AS (SELECT doc_id, unnest(list_filter(range(1, len(l)+1), i -> l[i] = 'join')) AS p FROM t)
+SELECT DISTINCT pa.doc_id FROM pa JOIN pb USING (doc_id)
+WHERE abs(pa.p - pb.p) <= 3 ORDER BY doc_id"""
+    o["idx_near"] = o["fts_near"]
     # r5 facet counts: docs matching ANY of the query terms, counted
     # per language (ordering irrelevant — the gate compares sorted
     # value multisets)
@@ -1069,6 +1078,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idx_phrase"] = lambda s, d: _doc_index(s, d).phrase_docs("vector join")
     q["fts_wildcard"] = lambda s, d: fts.wildcard_docs(_docs(s, d), "s?a*")
     q["idx_wildcard_term"] = lambda s, d: _doc_index(s, d).wildcard_docs("s?a*")
+    q["fts_near"] = lambda s, d: fts.near_docs(
+        _docs(s, d), "vector", "join", max_dist=3
+    )
+    q["idx_near"] = lambda s, d: _doc_index(s, d).near_docs(
+        "vector", "join", max_dist=3
+    )
     q["fts_facets"] = lambda s, d: fts.facet_counts(
         _docs(s, d), ["vector", "join"], "lang"
     )

@@ -20,9 +20,11 @@ the engine extensions ``{field: {"$prefix": ...}}``, ``$not``,
 ``$xor``, ``{field: {"$fuzzy": term, "max_dist": N}}``
 (Levenshtein expansion over the vocabulary table),
 ``{field: {"$wildcard": "pat*ern"}}`` (glob expansion over the
-vocabulary table), and ``{field: {"$phrase": "two words"}}``
+vocabulary table), ``{field: {"$phrase": "two words"}}``
 (posting-intersection pre-filter + positions-free adjacency
-confirm on the stored text).
+confirm on the stored text), and ``{field: {"$near": ["a", "b"],
+"max_dist": 3}}`` (unordered proximity: posting-intersection
+pre-filter + position confirm).
 """
 
 from __future__ import annotations
@@ -133,6 +135,25 @@ def _eval_dsl(idx, dsl: dict):
                 f"$wildcard value must be a string, got {type(wc).__name__}"
             )
         return idx.wildcard_docs(wc, field=field)
+    if isinstance(term, dict) and "$near" in term:
+        # engine extension: Lucene-SpanNearQuery-style proximity —
+        # {"field": {"$near": ["a", "b"], "max_dist": 3}}
+        pair = term["$near"]
+        if (
+            not isinstance(pair, list)
+            or len(pair) != 2
+            or not all(isinstance(t, str) and t for t in pair)
+        ):
+            raise ValueError(
+                "$near value must be a list of exactly two non-empty "
+                f"term strings, got {pair!r}"
+            )
+        md = term.get("max_dist", 3)
+        if isinstance(md, bool) or not isinstance(md, int) or md < 1:
+            raise ValueError(
+                f"$near max_dist must be a positive integer, got {md!r}"
+            )
+        return idx.near_docs(pair[0], pair[1], max_dist=md, field=field)
     if isinstance(term, dict) and "$phrase" in term:
         # engine extension: exact-phrase match inside a value —
         # {"field": {"$phrase": "two words"}}; the reference's
@@ -152,7 +173,8 @@ def _eval_dsl(idx, dsl: dict):
             f"field {field!r} has a non-scalar term {term!r} — operator "
             "keys are $and/$or/$not/$xor, prefix is {'$prefix': ...}, "
             "fuzzy is {'$fuzzy': ..., 'max_dist': N}, wildcard is "
-            "{'$wildcard': ...}, phrase is {'$phrase': ...}"
+            "{'$wildcard': ...}, phrase is {'$phrase': ...}, proximity "
+            "is {'$near': [a, b], 'max_dist': N}"
         )
     return idx.term_docs(str(term), field=field)
 
@@ -191,6 +213,9 @@ def validate_dsl(dsl: dict) -> None:
             return _Stub()
 
         def phrase_docs(self, phrase, field="text"):
+            return _Stub()
+
+        def near_docs(self, a, b, max_dist=3, field="text"):
             return _Stub()
 
     _eval_dsl(_StubIdx(), dsl)

@@ -276,6 +276,61 @@ def wildcard_docs(
     )
 
 
+def _near_pred(text_col, term_a: str, term_b: str, max_dist: int):
+    """Row-local proximity predicate over a raw text column: some
+    occurrence of ``term_a`` lies within ``max_dist`` positions of
+    some occurrence of ``term_b`` in the NON-EMPTY token stream
+    (1-based positions, the same stream ``snippets`` reports
+    ``hit_pos`` in).  When the terms are equal, two DISTINCT
+    occurrences are required.  Pure codegen: indexed ``transform``
+    to position lists + nested ``exists`` — no explode, no join, no
+    Python."""
+    toks = F.filter(F.split(F.lower(F.trim(text_col)), " ", -1), lambda t: t != "")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                toks,
+                lambda t, i: F.when(t == F.lit(term), i + 1).otherwise(F.lit(-1)),
+            ),
+            lambda p: p > 0,
+        )
+
+    pa, pb = positions(term_a), positions(term_b)
+    if term_a == term_b:
+        return F.exists(
+            pa,
+            lambda x: F.exists(
+                pb, lambda y: (x != y) & (F.abs(x - y) <= max_dist)
+            ),
+        )
+    return F.exists(
+        pa, lambda x: F.exists(pb, lambda y: F.abs(x - y) <= max_dist)
+    )
+
+
+def near_docs(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int = 3,
+    field: str = "text",
+) -> DataFrame:
+    """Proximity match (the Lucene SpanNearQuery analog, unordered;
+    engine extension): docs where ``term_a`` occurs within
+    ``max_dist`` tokens of ``term_b``, positions counted in the
+    non-empty token stream.  ``max_dist=1`` means adjacent (either
+    order); equal terms need two distinct occurrences.  Same
+    row-local single-scan shape as the other boolean ops."""
+    if max_dist < 1:
+        raise ValueError("near_docs needs max_dist >= 1")
+    return (
+        docs.where(_near_pred(F.col(field), term_a, term_b, max_dist))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def facet_counts(
     docs: DataFrame,
     query_terms: list[str],

@@ -29,6 +29,11 @@ handlers' JSON):
                                  nothing executed
     POST   /{index}/{id}       → add/replace a document
                                  (index/add.go; body = the doc JSON)
+    GET    /{index}/{id}/_mlt  → more-like-this (engine extension,
+                                 the Elasticsearch-style endpoint):
+                                 tf·idf term selection from the
+                                 stored doc → BM25 top-k, source
+                                 excluded; ?k=N&n_terms=M optional
 
 Index names are subdirectories of the server's data root (the
 reference's ``DataDir``); names are validated with the reference's
@@ -230,16 +235,16 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("request body must be a JSON object")
         return obj
 
-    def _route(self) -> tuple[str, str | None, bool]:
+    def _route(self) -> tuple[str, str | None, str | None]:
         parts = [p for p in self.path.split("?", 1)[0].split("/") if p]
-        analyze = len(parts) == 3 and parts[2] == "_analyze"
-        if len(parts) > 2 and not analyze:
+        sub = parts[2] if len(parts) == 3 and parts[2] in ("_analyze", "_mlt") else None
+        if len(parts) > 2 and sub is None:
             raise ValueError(f"no such route: {self.path}")
         name = parts[0] if parts else ""
         doc_id = parts[1] if len(parts) >= 2 else None
         if name and not validate_index_name(name):
             raise ValueError(f"Invalid index name: {name}")
-        return name, doc_id, analyze
+        return name, doc_id, sub
 
     def _missing(self, name: str) -> None:
         # exact reference error body (search.go:38-44 et al.)
@@ -248,7 +253,8 @@ class _Handler(BaseHTTPRequestHandler):
     # -- verbs -------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802
         try:
-            name, doc_id, analyze = self._route()
+            name, doc_id, sub = self._route()
+            analyze = sub == "_analyze"
         except ValueError as e:
             self._send({"error": str(e)}, 400)
             return
@@ -294,6 +300,48 @@ class _Handler(BaseHTTPRequestHandler):
                     .toString()
                 )
                 self._send({"command": command, "plan": plan})
+                return
+            if sub == "_mlt":
+                # GET /{index}/{id}/_mlt[?k=N&n_terms=M] — more-like-
+                # this over the stored doc (engine extension; the
+                # Elasticsearch-style _mlt endpoint): tf·idf term
+                # selection then standard BM25, source excluded
+                from urllib.parse import parse_qs, urlsplit
+
+                qs = parse_qs(urlsplit(self.path).query)
+
+                def _opt(key: str, default: int, cap: int) -> int:
+                    raw = qs.get(key, [str(default)])[-1]
+                    try:
+                        v = int(raw)
+                    except ValueError:
+                        raise ValueError(
+                            f"{key} must be a positive integer"
+                        ) from None
+                    if not 1 <= v <= cap:
+                        raise ValueError(f"{key} must be in 1..{cap}")
+                    return v
+
+                k = _opt("k", 10, 1000)
+                n_terms = _opt("n_terms", 5, 64)
+                if srv.is_pending(name):
+                    self._send({"error": f"document {int_id} not found"}, 400)
+                    return
+                idx = srv.open(name)
+                try:
+                    rows = idx.more_like_this(
+                        int_id, k=k, n_terms=n_terms
+                    ).collect()
+                except KeyError:
+                    self._send({"error": f"document {int_id} not found"}, 400)
+                    return
+                self._send({
+                    "doc_id": int_id,
+                    "results": [
+                        {"doc_id": r["doc_id"], "score": r["score"]}
+                        for r in rows
+                    ],
+                })
                 return
             if doc_id is None:
                 if srv.is_pending(name):
@@ -436,11 +484,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         try:
-            name, doc_id, analyze = self._route()
+            name, doc_id, sub = self._route()
             if not name:
                 raise ValueError("search expects POST /{index}")
-            if analyze:
-                raise ValueError("_analyze is a GET route")
+            if sub:
+                raise ValueError(f"{sub} is a GET route")
             body = self._body()
         except ValueError as e:
             self._send({"error": str(e)}, 400)

@@ -453,6 +453,34 @@ class SparkIndex:
             .orderBy("doc_id")
         )
 
+    def near_docs(
+        self,
+        term_a: str,
+        term_b: str,
+        max_dist: int = 3,
+        field: str = "text",
+    ) -> DataFrame:
+        """Index-accelerated proximity match (Lucene SpanNearQuery
+        analog, unordered; engine extension): intersect the two
+        terms' postings (the fully-indexed AND pre-filter), then
+        confirm the position constraint on the candidates' stored
+        text with the same row-local predicate as
+        :func:`fts.near_docs` — so the text scan touches the AND
+        selectivity, not the corpus.  Equal terms need two distinct
+        occurrences.  Same doc-store visibility note as
+        ``phrase_docs``."""
+        if max_dist < 1:
+            raise ValueError("near_docs needs max_dist >= 1")
+        from .fts import _near_pred
+
+        cand = self.and_docs(list(dict.fromkeys([term_a, term_b])), field)
+        return (
+            self.docs.join(cand, "doc_id")
+            .where(_near_pred(F.col(field).cast("string"), term_a, term_b, max_dist))
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
     def facet_counts(
         self, query_terms: list[str], facet_field: str, field: str = "text"
     ) -> DataFrame:
@@ -472,6 +500,64 @@ class SparkIndex:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("facet"))
         )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        field: str = "text",
+        n_terms: int = 5,
+        k: int = 10,
+        exclude_self: bool = True,
+        min_df: int = 2,
+    ) -> DataFrame:
+        """More-like-this (the Lucene MoreLikeThis analog; engine
+        extension): select the source doc's ``n_terms`` most
+        characteristic tokens by tf·idf (deterministic tie-break:
+        score desc, term asc — Lucene's interestingness ranking with
+        the engine's own BM25 idf), then run the standard
+        ``bm25_topk`` on that expanded query.  Result ordered
+        (score desc, doc_id asc); the source doc itself is dropped
+        when ``exclude_self`` (still ``k`` rows when available).
+
+        ``min_df`` is Lucene's ``minDocFreq`` guard (its default 5,
+        ours 2): tokens appearing in fewer than ``min_df`` docs are
+        excluded from selection — pure tf·idf would rank the
+        source's UNIQUE tokens highest (idf is maximal at df=1) and
+        the expanded query would match only the source itself.
+
+        Cost: ONE doc-store point lookup (broadcast-joined id) +
+        the memoized term-metadata probe for idf + one standard
+        top-k query — the expansion never touches postings, and a
+        warm serving process pays only the final query job.  Like
+        ``get_docs``, the source lookup reads the doc store."""
+        ids = self.spark.createDataFrame([(int(doc_id),)], "doc_id long")
+        rows = self.get_docs(ids).select(
+            F.col(field).cast("string").alias("t")
+        ).collect()
+        if not rows:
+            raise KeyError(f"doc_id {doc_id} is not in the doc store")
+        text = rows[0]["t"] or ""
+        toks = [t for t in text.strip(" ").lower().split(" ") if t != ""]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        if not tf:
+            return self._topk_df([])
+        meta = self._term_meta(list(tf), field)
+        dfmap = {t: m[0] for t, m in meta.items()}
+        idf = self._idf(dfmap, list(tf))
+        cand = [t for t in tf if dfmap.get(t, 0) >= min_df]
+        if not cand:
+            return self._topk_df([])
+        ranked = sorted(
+            cand, key=lambda t: (-(tf[t] * idf.get(t, 0.0)), t)
+        )[: max(1, n_terms)]
+        res = self.bm25_topk(
+            " ".join(ranked), k=k + 1 if exclude_self else k, field=field
+        )
+        if exclude_self:
+            res = res.where(F.col("doc_id") != int(doc_id)).limit(k)
+        return res
 
     def top_terms(self, n: int = 20, field: str = "text") -> DataFrame:
         """Vocabulary introspection: the ``n`` highest-df terms of a

@@ -627,3 +627,32 @@ def test_query_dsl_wildcard_and_phrase(spark, idx_dir, capsys):
         cli.validate_dsl({"text": {"$phrase": ""}})
     with pytest.raises(ValueError, match=r"\$phrase value"):
         cli.validate_dsl({"text": {"$phrase": ["a"]}})
+
+
+def test_query_dsl_near(spark, idx_dir, capsys):
+    """$near routes through SparkIndex.near_docs (⊆ the AND of the
+    two terms), validates index-free, and rejects bad shapes."""
+    from neosearch_spark.query import SparkIndex
+
+    idx = SparkIndex(spark, idx_dir)
+    rc = cli.main(
+        ["query", "--index", idx_dir,
+         "--dsl", '{"text": {"$near": ["tok1", "tok2"], "max_dist": 4}}',
+         "--limit", "100000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    got = {r["doc_id"] for r in out["results"]}
+    assert got == {r["doc_id"]
+                   for r in idx.near_docs("tok1", "tok2", max_dist=4).collect()}
+    and_ids = {r["doc_id"] for r in idx.and_docs(["tok1", "tok2"]).collect()}
+    assert got <= and_ids
+
+    cli.validate_dsl({"text": {"$near": ["a", "b"]}})
+    for bad in [{"$near": "a b"}, {"$near": ["a"]}, {"$near": ["a", 3]},
+                {"$near": ["a", ""]}]:
+        with pytest.raises(ValueError, match=r"\$near value"):
+            cli.validate_dsl({"text": bad})
+    for md in [0, -1, True, "3"]:
+        with pytest.raises(ValueError, match=r"\$near max_dist"):
+            cli.validate_dsl({"text": {"$near": ["a", "b"], "max_dist": md}})

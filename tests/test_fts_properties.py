@@ -259,3 +259,39 @@ def test_facet_counts_matches_counter_oracle(spark, seed):
         want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0] is None, kv[0]))
         # null ordering differs by engine convention; compare as multisets
         assert sorted(got, key=str) == sorted(want, key=str), terms
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_near_docs_matches_position_oracle(spark, seed):
+    """fts.near_docs vs a pure-Python position model: positions in
+    the NON-EMPTY token stream, |pa - pb| <= d, equal terms needing
+    two distinct occurrences.  The dup-heavy random corpora give
+    real same-term repeats and multi-space runs (whose empty tokens
+    must NOT count as positions)."""
+
+    def pos_list(text, term):
+        if text is None:
+            return []
+        toks = [t for t in text.strip(" ").lower().split(" ") if t != ""]
+        return [i + 1 for i, t in enumerate(toks) if t == term]
+
+    rng = random.Random(500 + seed)
+    rows = _mk_corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cases = [("alpha", "beta", 1), ("alpha", "beta", 3),
+             ("x1", "x2", 2), ("alpha", "alpha", 2), ("zz", "qq", 5)]
+    for a, b, d in cases:
+        got = [r["doc_id"]
+               for r in fts.near_docs(docs, a, b, max_dist=d).collect()]
+        want = []
+        for i, t in rows:
+            pa, pb = pos_list(t, a), pos_list(t, b)
+            if a == b:
+                hit = any(abs(x - y) <= d for x in pa for y in pb if x != y)
+            else:
+                hit = any(abs(x - y) <= d for x in pa for y in pb)
+            if hit:
+                want.append(i)
+        assert got == sorted(want), (a, b, d)
+    with pytest.raises(ValueError, match="max_dist"):
+        fts.near_docs(docs, "alpha", "beta", max_dist=0)

@@ -722,3 +722,33 @@ def test_dsl_phrase_wildcard_over_http(http_srv):
         base + "/warmidx", "POST", {"query": {"text": {"$phrase": "  "}}}
     )["error"]
     assert _req(base + "/")["status"] == "alive"
+
+
+def test_mlt_route(spark, http_srv):
+    """GET /{index}/{id}/_mlt answers BM25-scored similar docs
+    (source excluded, k respected), validates query params, and
+    404-bodies an unknown document."""
+    from neosearch_spark.query import SparkIndex
+
+    srv, base = http_srv
+    idx = SparkIndex(spark, f"{srv.root}/warmidx")
+    some_id = idx.docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    out = _req(f"{base}/warmidx/{some_id}/_mlt?k=5")
+    assert out["doc_id"] == some_id
+    assert 0 < len(out["results"]) <= 5
+    assert all(r["doc_id"] != some_id for r in out["results"])
+    # ≡ the library call
+    want = [(r["doc_id"], r["score"])
+            for r in idx.more_like_this(some_id, k=5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in out["results"]]
+    assert got == want
+    assert "not found" in _req(f"{base}/warmidx/999999999/_mlt")["error"]
+    assert "k must be" in _req(f"{base}/warmidx/{some_id}/_mlt?k=0")["error"]
+    assert "n_terms must be" in _req(
+        f"{base}/warmidx/{some_id}/_mlt?n_terms=x"
+    )["error"]
+    # _mlt is GET-only, same contract as _analyze
+    assert "GET route" in _req(
+        f"{base}/warmidx/{some_id}/_mlt", "POST", {}
+    )["error"]
+    assert _req(base + "/")["status"] == "alive"

@@ -121,6 +121,86 @@ def test_wildcard_docs_index_equals_direct_and_bounds(corpus):
         si.wildcard_docs("tok*", max_terms=1)
 
 
+def test_near_docs_index_equals_direct(corpus):
+    """Index-path proximity (AND pre-filter + position confirm) ≡
+    the direct row-local scan; result ⊆ AND of the two terms; the
+    equal-terms case needs two distinct occurrences."""
+    si, _, docs = corpus
+    for a, b, d in [("tok1", "tok2", 2), ("tok1", "tok2", 8),
+                    ("neoway", "solution", 2), ("tok1", "tok1", 3),
+                    ("tok1", "missingterm", 5)]:
+        got_idx = [r["doc_id"]
+                   for r in si.near_docs(a, b, max_dist=d).collect()]
+        got_dir = [r["doc_id"]
+                   for r in fts.near_docs(docs, a, b, max_dist=d).collect()]
+        assert got_idx == got_dir, (a, b, d)
+        and_ids = {r["doc_id"]
+                   for r in si.and_docs(list({a, b})).collect()}
+        assert set(got_idx) <= and_ids, (a, b, d)
+    # adjacency: "neoway business" is adjacent in the edge text
+    assert si.near_docs("neoway", "business", max_dist=1).count() > 0
+    with pytest.raises(ValueError, match="max_dist"):
+        si.near_docs("tok1", "tok2", max_dist=0)
+
+
+def test_more_like_this_matches_python_model(corpus):
+    """more_like_this ≡ an independent pure-Python model over the
+    OracleIndex: tf·idf term selection (score desc, term asc) from
+    the source doc's non-empty tokens, then the oracle's own BM25
+    top-k with the source dropped.  Also: unknown doc_id raises,
+    exclude_self=False keeps the source (a doc is most like
+    itself)."""
+    import math
+
+    si, oi, _ = corpus
+
+    def model(doc_id, n_terms, k, min_df=2):
+        toks = [t for t in oi.docs[doc_id].strip(" ").lower().split(" ")
+                if t != ""]
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        idf = {
+            t: math.log(1.0 + (oi.n_docs - len(oi.postings.get(t, [])) + 0.5)
+                        / (len(oi.postings.get(t, [])) + 0.5))
+            for t in tf
+        }
+        cand = [t for t in tf if len(oi.postings.get(t, [])) >= min_df]
+        ranked = sorted(cand, key=lambda t: (-(tf[t] * idf[t]), t))[:n_terms]
+        hits = oi.bm25_topk(" ".join(ranked), k + 1)
+        return [(d, s) for d, s in hits if d != doc_id][:k]
+
+    for src in [0, 23, 117, 300]:
+        got = [(r["doc_id"], r["score"])
+               for r in si.more_like_this(src, n_terms=5, k=8).collect()]
+        want = model(src, 5, 8)
+        assert [g[0] for g in got] == [w[0] for w in want], src
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-9, (src, g, w)
+
+    # exclude_self=False ≡ the model without the source filter
+    def model_keep(doc_id, n_terms, k, min_df=2):
+        toks = [t for t in oi.docs[doc_id].strip(" ").lower().split(" ")
+                if t != ""]
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        idf = {
+            t: math.log(1.0 + (oi.n_docs - len(oi.postings.get(t, [])) + 0.5)
+                        / (len(oi.postings.get(t, [])) + 0.5))
+            for t in tf
+        }
+        cand = [t for t in tf if len(oi.postings.get(t, [])) >= min_df]
+        ranked = sorted(cand, key=lambda t: (-(tf[t] * idf[t]), t))[:n_terms]
+        return oi.bm25_topk(" ".join(ranked), k)
+
+    kept = [(r["doc_id"], r["score"])
+            for r in si.more_like_this(23, k=5, exclude_self=False).collect()]
+    assert [g[0] for g in kept] == [w[0] for w in model_keep(23, 5, 5)]
+    with pytest.raises(KeyError, match="doc store"):
+        si.more_like_this(10**9)
+
+
 def test_facet_counts_index_equals_direct(corpus):
     """Index-path facet counts (posting OR + doc-store join + facet
     groupBy) ≡ the direct scan, and totals ≡ the matched-doc count."""
