@@ -841,6 +841,15 @@ FROM p ORDER BY doc_id"""
         "WHERE token LIKE 's_a%' ORDER BY doc_id"
     )
     o["idx_wildcard_term"] = o["fts_wildcard"]
+    # r5 spelling suggestions: (dist asc, df desc, term asc) — a
+    # closer term always beats a more frequent one
+    o["fts_suggest"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents),
+d AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks WHERE token <> '' GROUP BY token)
+SELECT token AS term, levenshtein(token, 'sparc')::BIGINT AS dist, df FROM d
+WHERE abs(len(token) - 5) <= 2 AND levenshtein(token, 'sparc') <= 2
+ORDER BY dist, df DESC, term LIMIT 5"""
+    o["idx_suggest"] = o["fts_suggest"]
     # r5 proximity (NEAR): positions in the NON-EMPTY token stream
     # (1-based), same stream snippets reports hit_pos in
     o["fts_near"] = """
@@ -1078,6 +1087,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["idx_phrase"] = lambda s, d: _doc_index(s, d).phrase_docs("vector join")
     q["fts_wildcard"] = lambda s, d: fts.wildcard_docs(_docs(s, d), "s?a*")
     q["idx_wildcard_term"] = lambda s, d: _doc_index(s, d).wildcard_docs("s?a*")
+    q["fts_suggest"] = lambda s, d: fts.suggest_terms(
+        _docs(s, d), "sparc", max_dist=2, n=5
+    )
+    q["idx_suggest"] = lambda s, d: _doc_index(s, d).suggest_terms(
+        "sparc", max_dist=2, n=5
+    )
     q["fts_near"] = lambda s, d: fts.near_docs(
         _docs(s, d), "vector", "join", max_dist=3
     )

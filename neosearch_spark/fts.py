@@ -356,6 +356,46 @@ def facet_counts(
     )
 
 
+def suggest_terms(
+    docs: DataFrame,
+    term: str,
+    max_dist: int = 2,
+    n: int = 5,
+    field: str = "text",
+) -> DataFrame:
+    """Spelling suggestions ("did you mean"; the Lucene
+    DirectSpellChecker analog — engine extension): the ``n``
+    vocabulary tokens closest to ``term`` by Levenshtein distance,
+    ranked (dist asc, df desc, term asc) — a closer term always
+    beats a more frequent one, Lucene's default comparator.  Output
+    ``(term, dist, df)``.
+
+    One token-df aggregation (partial-agg groupBy on the token —
+    vocabulary-sized shuffle, not corpus-sized) + a length-pruned
+    Levenshtein ranking.  The persisted-index twin
+    (`SparkIndex.suggest_terms`) reads df straight from the tiny
+    terms table and runs no corpus scan at all.  Same ASCII oracle
+    caveat as ``fuzzy_docs``."""
+    if max_dist < 1:
+        raise ValueError("suggest_terms needs max_dist >= 1")
+    toks = token_stream(docs, field).where(F.col("token") != "")
+    dfs = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    dist = F.levenshtein(F.col("token"), F.lit(term))
+    return (
+        dfs.where(F.abs(F.length("token") - F.lit(len(term))) <= max_dist)
+        .where(dist <= max_dist)
+        .select(
+            F.col("token").alias("term"),
+            dist.cast("long").alias("dist"),
+            "df",
+        )
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

@@ -501,6 +501,36 @@ class SparkIndex:
             .orderBy(F.desc("n_docs"), F.asc("facet"))
         )
 
+    def suggest_terms(
+        self,
+        term: str,
+        max_dist: int = 2,
+        n: int = 5,
+        field: str = "text",
+    ) -> DataFrame:
+        """Spelling suggestions from the index vocabulary (Lucene
+        DirectSpellChecker analog; engine extension): the ``n``
+        closest terms by Levenshtein distance, ranked (dist asc, df
+        desc, term asc) — closer always beats more frequent.  Output
+        ``(term, dist, df)``; df comes straight from the tiny terms
+        table, so NO posting or corpus scan runs — the whole query
+        is a length-pruned scan of the vocabulary.  Whole-string
+        extra terms are excluded for analyzed fields (same rule as
+        ``top_terms``)."""
+        if max_dist < 1:
+            raise ValueError("suggest_terms needs max_dist >= 1")
+        t = self.terms.where(F.col("field") == field)
+        if field in self.manifest["params"].get("analyzed_fields", []):
+            t = t.where(~F.col("term").contains(" "))
+        dist = F.levenshtein(F.col("term"), F.lit(term))
+        return (
+            t.where(F.abs(F.length("term") - F.lit(len(term))) <= max_dist)
+            .where(dist <= max_dist)
+            .select("term", dist.cast("long").alias("dist"), F.col("df").cast("long").alias("df"))
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def more_like_this(
         self,
         doc_id: int,

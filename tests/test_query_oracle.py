@@ -720,3 +720,30 @@ def test_memo_caches_are_thread_safe(spark, tmp_path, monkeypatch):
     for t in threads:
         t.join(60)
     assert not errors2, errors2
+
+
+def test_suggest_terms_index_equals_direct(corpus):
+    """Index-path spelling suggestions (terms-table vocabulary, no
+    corpus scan) ≡ the direct token-df aggregation, including the
+    (dist asc, df desc, term asc) ranking; max_dist validated."""
+    si, _, docs = corpus
+    for term, d, n in [("tok", 2, 5), ("neoway", 2, 5), ("tok10", 1, 8),
+                       ("zzqqxx", 2, 5)]:
+        got_idx = [(r["term"], r["dist"], r["df"])
+                   for r in si.suggest_terms(term, max_dist=d, n=n).collect()]
+        got_dir = [(r["term"], r["dist"], r["df"])
+                   for r in fts.suggest_terms(docs, term, max_dist=d, n=n).collect()]
+        assert got_idx == got_dir, (term, d)
+        # ranking invariant: dist non-decreasing; within a dist, df
+        # non-increasing
+        for a, b in zip(got_idx, got_idx[1:]):
+            assert a[1] <= b[1]
+            if a[1] == b[1]:
+                assert a[2] >= b[2]
+    # an exact vocabulary hit ranks itself first at dist 0
+    first = si.suggest_terms("tok1", max_dist=1, n=3).collect()[0]
+    assert (first["term"], first["dist"]) == ("tok1", 0)
+    with pytest.raises(ValueError, match="max_dist"):
+        si.suggest_terms("tok1", max_dist=0)
+    with pytest.raises(ValueError, match="max_dist"):
+        fts.suggest_terms(docs, "tok1", max_dist=0)
