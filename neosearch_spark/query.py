@@ -368,6 +368,21 @@ class SparkIndex:
             return self.spark.range(0).select(F.col("id").alias("doc_id"))
         return self.or_docs(matched, field)
 
+    def _require_analyzed(self, field: str, what: str) -> None:
+        """phrase/near confirm token adjacency/positions with the
+        ANALYZED normalization (trim→lower→single-space split); on an
+        exact field — whole values, case-sensitive, never tokenized —
+        that predicate is meaningless, so refuse loudly instead of
+        returning silently-wrong rows.  Indexes whose manifest
+        predates field typing list no analyzed fields; they are all
+        analyzed-text, so the guard passes them through."""
+        af = self.manifest["params"].get("analyzed_fields", [])
+        if af and field not in af:
+            raise ValueError(
+                f"{what} requires an analyzed (tokenized) field; "
+                f"{field!r} is not one of {af}"
+            )
+
     def _expand_vocab(
         self, cond, field: str, max_terms: int, what: str
     ) -> list[str]:
@@ -434,6 +449,7 @@ class SparkIndex:
         reads the doc store: docs ingested through the streaming
         delta path (postings but no doc-store row yet) are not
         visible until compaction folds them in."""
+        self._require_analyzed(field, "phrase_docs")
         norm = phrase.strip(" ").lower()
         if norm == "":
             raise ValueError("phrase_docs needs a non-empty phrase")
@@ -471,6 +487,7 @@ class SparkIndex:
         ``phrase_docs``."""
         if max_dist < 1:
             raise ValueError("near_docs needs max_dist >= 1")
+        self._require_analyzed(field, "near_docs")
         from .fts import _near_pred
 
         cand = self.and_docs(list(dict.fromkeys([term_a, term_b])), field)

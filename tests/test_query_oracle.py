@@ -101,6 +101,12 @@ def test_phrase_docs_index_equals_direct(corpus):
         si.phrase_docs("   ")
     with pytest.raises(ValueError, match="non-empty"):
         fts.phrase_docs(docs, " ")
+    # adjacency confirm uses ANALYZED normalization — meaningless on
+    # a non-analyzed field, so the index path refuses loudly
+    with pytest.raises(ValueError, match="analyzed"):
+        si.phrase_docs("a b", field="role")
+    with pytest.raises(ValueError, match="analyzed"):
+        si.near_docs("a", "b", field="role")
 
 
 def test_wildcard_docs_index_equals_direct_and_bounds(corpus):
